@@ -1,0 +1,339 @@
+"""Production encoder: batched TPU analysis + native bitstream back-end.
+
+The TPU-first inversion of the reference's serial encode loop
+(flake.c:624-663 / encode.c:919-977): the stream is chunked into frames,
+thousands of frames are analyzed at once on device
+(:func:`flake_tpu.ops.frame.analyze_frames`), and the native C++ packer
+emits the FLAC bytes in parallel on host while MD5 runs over the raw
+input bytes. Only three things remain sequential, and all are cheap or
+overlapped: frame order in the output file, the MD5 chain, and the tiny
+final partial frame (delegated to the scalar oracle so no extra jit
+specialisation is compiled for its one-off block size).
+
+API lifecycle mirrors the reference (flake.h:217-234): construct ->
+header() -> encode chunks -> streaminfo() rewrite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flake_tpu import metadata
+from flake_tpu import params as P
+from flake_tpu.native import pack_frames
+from flake_tpu.ops.frame import FrameConfig, analyze_frames_jit
+
+
+def _utf8_len(val: int) -> int:
+    """Byte length of the UTF-8 coded frame number (encode.c:700-716)."""
+    if val < 0x80:
+        return 1
+    return (val.bit_length() - 1 + 4) // 5
+
+
+class Encoder:
+    """Batched FLAC encoder with the reference API lifecycle."""
+
+    def __init__(self, cfg: P.StreamConfig, *, batch_frames: int = 512,
+                 lpc_dtype: str = "float64",
+                 vendor_string: str | None = None):
+        import flake_tpu
+        flake_tpu._enable_compile_cache_if_tpu()
+        self.subset = P.validate_params(cfg)
+        self.cfg = cfg
+        self.params = cfg.params
+        self.channels = cfg.channels
+        self.bps = cfg.bits_per_sample
+        self.sample_rate = cfg.sample_rate
+        self.batch_frames = batch_frames
+        self.lpc_dtype = lpc_dtype
+        self.vendor_string = vendor_string or metadata.DEFAULT_VENDOR
+
+        self.sr_code = P.samplerate_code(cfg.sample_rate)
+        self.bps_code = P.bps_code(cfg.bits_per_sample)
+        self.ch_code = cfg.channels - 1
+        self.max_frame_size = P.max_frame_size(
+            self.params.block_size, self.channels, self.bps)
+        self.frame_count = 0          # frames, or samples when allow_vbs
+        self.sample_count = cfg.samples
+        self.md5 = hashlib.md5()
+        self._pending = np.zeros((0, self.channels), dtype=np.int32)
+        self._finished = False
+
+    # -- headers / metadata ----------------------------------------------
+
+    def streaminfo(self) -> metadata.StreamInfo:
+        p = self.params
+        min_bs = 16 if (p.variable_block_size or p.allow_vbs) \
+            else p.block_size
+        return metadata.StreamInfo(
+            min_block_size=min_bs, max_block_size=p.block_size,
+            min_frame_size=0, max_frame_size=self.max_frame_size,
+            sample_rate=self.sample_rate, channels=self.channels,
+            bits_per_sample=self.bps, samples=self.sample_count,
+            md5sum=self.md5.copy().digest())
+
+    def header(self) -> bytes:
+        vc = metadata.VorbisComment(vendor_string=self.vendor_string)
+        return metadata.write_headers(self.streaminfo(),
+                                      self.params.padding_size, vc)
+
+    # -- encoding --------------------------------------------------------
+
+    def encode(self, pcm: np.ndarray, last: bool = False) -> bytes:
+        """Encode a chunk of interleaved samples (int32 [n, channels]).
+
+        Buffers to whole frames; pass ``last=True`` (or call
+        :meth:`finish`) to flush the final partial frame."""
+        if self._finished:
+            raise RuntimeError("encoder already finished")
+        pcm = np.asarray(pcm, dtype=np.int32).reshape(-1, self.channels)
+        if self._pending.shape[0]:
+            pcm = np.concatenate([self._pending, pcm], axis=0)
+
+        bs = self.params.block_size
+        n_full = pcm.shape[0] // bs
+        out = bytearray()
+        if n_full:
+            frames = pcm[:n_full * bs].reshape(n_full, bs, self.channels)
+            out += self._encode_full_frames(frames)
+        self._pending = pcm[n_full * bs:].copy()
+        self._md5_update(pcm[:n_full * bs])
+        if last:
+            out += self.finish()
+        return bytes(out)
+
+    def finish(self) -> bytes:
+        """Flush the final partial frame (if any)."""
+        if self._finished:
+            return b""
+        self._finished = True
+        if not self._pending.shape[0]:
+            return b""
+        tail = self._pending
+        self._pending = np.zeros((0, self.channels), dtype=np.int32)
+        out = self._encode_tail(tail)
+        self._md5_update(tail)
+        return out
+
+    def encode_stream(self, pcm: np.ndarray) -> bytes:
+        """One-shot: full stream -> header + frames with the STREAMINFO
+        already rewritten (the flake.c:624-678 loop equivalent)."""
+        pcm = np.asarray(pcm, dtype=np.int32).reshape(-1, self.channels)
+        self.sample_count = pcm.shape[0]
+        body = self.encode(pcm, last=True)
+        blob = bytearray(self.header())
+        blob += body
+        si = metadata.write_streaminfo(self.streaminfo())
+        blob[8:8 + 34] = si
+        return bytes(blob)
+
+    # -- checkpoint / resume ---------------------------------------------
+
+    def save_state(self) -> dict:
+        """Serializable encoder state for resume-after-interruption: the
+        format itself is append-only (header up front, frames appended,
+        STREAMINFO patched at the end — SURVEY §5), so resume = re-open
+        the output at the last flushed byte and continue from here."""
+        return {
+            "frame_count": self.frame_count,
+            "max_frame_size": self.max_frame_size,
+            "sample_count": self.sample_count,
+            "md5_state": self.md5.copy(),
+            "pending": self._pending.copy(),
+            "finished": self._finished,
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.frame_count = state["frame_count"]
+        self.max_frame_size = state["max_frame_size"]
+        self.sample_count = state["sample_count"]
+        self.md5 = state["md5_state"].copy()
+        self._pending = state["pending"].copy()
+        self._finished = state["finished"]
+
+    # -- internals -------------------------------------------------------
+
+    def _md5_update(self, pcm: np.ndarray):
+        if pcm.shape[0] == 0:
+            return
+        bps_bytes = (self.bps + 7) >> 3
+        flat = np.ascontiguousarray(pcm.reshape(-1).astype("<i4"))
+        raw = flat.view(np.uint8).reshape(-1, 4)[:, :bps_bytes]
+        self.md5.update(np.ascontiguousarray(raw).tobytes())
+
+    def _hdr_bits(self, nums: np.ndarray, bs_code) -> np.ndarray:
+        """Exact frame-header bit counts incl. CRC-8 for given frame
+        numbers (layout per encode.c:718-764)."""
+        base = 32 + 8  # fixed fields + crc8
+        if bs_code[1] >= 0:
+            base += 8 if bs_code[1] < 256 else 16
+        if self.sr_code[1] > 0:
+            base += 8 if self.sr_code[1] < 256 else 16
+        ulen = np.array([_utf8_len(int(v)) for v in nums], dtype=np.int64)
+        return (base + 8 * ulen).astype(np.int32)
+
+    def _encode_full_frames(self, frames: np.ndarray) -> bytes:
+        """Encode [F, bs, C] full frames via the batched device path."""
+        bs = self.params.block_size
+        if (self.params.variable_block_size
+                and bs % P.VBS_MAX_FRAMES == 0
+                and bs >= P.VBS_MIN_BLOCK_SIZE):
+            return self._encode_vbs_superblocks(frames)
+
+        F = frames.shape[0]
+        if self.params.allow_vbs:
+            nums = self.frame_count + bs * np.arange(F, dtype=np.int64)
+        else:
+            nums = self.frame_count + np.arange(F, dtype=np.int64)
+        out, _ = self._run_batches(frames, bs, nums)
+        self.frame_count += bs * F if self.params.allow_vbs else F
+        return out
+
+    def _run_batches(self, frames: np.ndarray, block_size: int,
+                     nums: np.ndarray) -> bytes:
+        """Run device analysis in fixed-size jit batches + native pack."""
+        cfg = FrameConfig.from_params(self.params, self.channels,
+                                      self.bps, block_size=block_size,
+                                      lpc_dtype=self.lpc_dtype)
+        bs_code = P.blocksize_code(block_size)
+        vsize = P.max_frame_size(block_size, self.channels, self.bps)
+        F = frames.shape[0]
+        out = bytearray()
+        all_lengths = []
+        bsz = self.batch_frames
+        for start in range(0, F, bsz):
+            chunk = frames[start:start + bsz]
+            cnums = nums[start:start + bsz]
+            n = chunk.shape[0]
+            if n < bsz:  # pad to the jit batch shape, slice after
+                pad = np.zeros((bsz - n,) + chunk.shape[1:], np.int32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+                cnums = np.concatenate(
+                    [cnums, np.zeros(bsz - n, cnums.dtype)])
+            hdr_bits = self._hdr_bits(cnums, bs_code)
+            analysis = analyze_frames_jit(jnp.asarray(chunk), cfg,
+                                          jnp.asarray(hdr_bits))
+            host = {k: np.asarray(v) for k, v in analysis.items()
+                    if v is not None}
+            host = {k: v[:n] for k, v in host.items()}
+            blob, lengths = pack_frames(
+                host, cnums[:n].astype(np.uint32),
+                block_size=block_size, channels=self.channels,
+                bps_code=self.bps_code, sr_code=self.sr_code,
+                bs_code=bs_code, allow_vbs=self.params.allow_vbs,
+                precision=P.LPC_PRECISION, ch_code=self.ch_code,
+                max_frame_size=vsize)
+            # device-predicted sizes must match the packed bytes exactly
+            predicted = host.get("frame_bytes")
+            if predicted is not None and \
+                    not np.array_equal(predicted, lengths):
+                raise AssertionError(
+                    "device/host frame size mismatch: "
+                    f"{predicted[:8]} vs {lengths[:8]}")
+            self.max_frame_size = max(self.max_frame_size,
+                                      int(lengths.max(initial=0)))
+            out += blob
+            all_lengths.append(lengths)
+        lengths = np.concatenate(all_lengths) if all_lengths \
+            else np.zeros(0, np.int64)
+        return bytes(out), lengths
+
+    def _encode_vbs_superblocks(self, frames: np.ndarray) -> bytes:
+        """Variable block size: batched split decision (vbs.c:36-83),
+        then sub-frames bucketed by size and encoded batch-per-size."""
+        F, bs, C = frames.shape
+        sec = bs // P.VBS_MAX_FRAMES
+
+        # per-section 2nd-order residual predictability (vbs.c:47-63);
+        # each section's difference starts at its own third sample
+        s = frames.astype(np.int64)
+        res = np.empty((F, P.VBS_MAX_FRAMES), dtype=np.int64)
+        for i in range(P.VBS_MAX_FRAMES):
+            seg = s[:, i * sec:(i + 1) * sec]
+            dd = np.abs(seg[:, 2:] - 2 * seg[:, 1:-1] + seg[:, :-2]) \
+                .sum(axis=(1, 2))
+            res[:, i] = dd // C + 1
+
+        layout = np.zeros((F, P.VBS_MAX_FRAMES), dtype=bool)
+        layout[:, 0] = True
+        diff = np.abs(res[:, :-1] - res[:, 1:]) * 200 // res[:, :-1]
+        layout[:, 1:] = diff > 50  # SPLIT_THRESHOLD (vbs.c:26)
+
+        # enumerate sub-frames: (superblock, start_section, n_sections)
+        subs = []   # (frame_idx, start_sample, size)
+        base = self.frame_count
+        for f in range(F):
+            marks = np.flatnonzero(layout[f])
+            bounds = np.append(marks, P.VBS_MAX_FRAMES)
+            if len(marks) == 1:
+                subs.append((f, 0, bs))
+                continue
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                subs.append((f, int(a) * sec, int(b - a) * sec))
+
+        # frame numbers = absolute starting sample (encode.c:970-975)
+        nums, sizes, order_key = [], [], []
+        offset = 0
+        for f, start, size in subs:
+            nums.append(base + f * bs + start)
+            sizes.append(size)
+            order_key.append(offset)
+            offset += 1
+
+        # bucket by block size -> one jit/pack batch per size
+        sizes_arr = np.array(sizes)
+        nums_arr = np.array(nums, dtype=np.int64)
+        pieces: list[bytes | None] = [None] * len(subs)
+        for size in sorted(set(sizes)):
+            idxs = np.flatnonzero(sizes_arr == size)
+            batch = np.stack([
+                frames[subs[i][0], subs[i][1]:subs[i][1] + size]
+                for i in idxs])
+            blob, lengths = self._run_batches(batch, size,
+                                              nums_arr[idxs])
+            off = 0
+            for i, ln in zip(idxs, lengths):
+                pieces[i] = blob[off:off + int(ln)]
+                off += int(ln)
+        self.frame_count += F * bs
+        return b"".join(pieces)  # type: ignore[arg-type]
+
+    def _encode_tail(self, tail: np.ndarray) -> bytes:
+        """Final partial frame via the scalar oracle (one frame)."""
+        from flake_tpu.oracle.encoder import OracleEncoder
+
+        o = OracleEncoder.__new__(OracleEncoder)
+        o.cfg = self.cfg
+        o.params = self.params
+        o.channels = self.channels
+        o.sample_rate = self.sample_rate
+        o.bps = self.bps
+        o.sample_count = self.sample_count
+        o.lpc_precision = P.LPC_PRECISION
+        o.sr_code = self.sr_code
+        o.bps_code = self.bps_code
+        o.ch_code = self.ch_code
+        o.max_frame_size = self.max_frame_size
+        o.frame_buffer_size = P.max_frame_size(
+            self.params.block_size, self.channels, self.bps) * 3 // 2
+        o.frame_count = self.frame_count
+        o.last_frame = False
+        o.vendor_string = self.vendor_string
+        n = tail.shape[0]
+        if (self.params.variable_block_size
+                and n % P.VBS_MAX_FRAMES == 0
+                and n >= P.VBS_MIN_BLOCK_SIZE):
+            out = o._encode_frame_vbs(tail.reshape(-1), n)
+            if out is None:
+                out = o._encode_one(tail.reshape(-1), n)
+        else:
+            out = o._encode_one(tail.reshape(-1), n)
+        self.frame_count = o.frame_count
+        self.max_frame_size = max(self.max_frame_size, o.max_frame_size)
+        return out

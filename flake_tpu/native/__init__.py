@@ -1,0 +1,109 @@
+"""Native runtime loader: compiles and binds the C++ packer via ctypes.
+
+The reference encoder is native C throughout; flake-tpu keeps native
+code where the work is byte-plumbing (bitstream emission, CRC, stream
+stitching) and uses the TPU for all numeric search. The extension is
+built on first use with g++ (no pybind11 dependency) and cached next to
+the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "packer.cpp"
+_LIB = _DIR / "_flake_native.so"
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+           "-march=native", str(_SRC), "-o", str(_LIB) + ".tmp"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(str(_LIB) + ".tmp", _LIB)
+
+
+def get_lib() -> ctypes.CDLL:
+    """Load (building if stale) the native library."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.flake_pack_frames.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, u32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int64, i64p,
+        ]
+        lib.flake_pack_frames.restype = None
+        lib.flake_stitch.argtypes = [u8p, ctypes.c_int, ctypes.c_int64,
+                                     i64p, i64p, u8p]
+        lib.flake_stitch.restype = None
+        lib.flake_crc8.argtypes = [u8p, ctypes.c_int64]
+        lib.flake_crc8.restype = ctypes.c_uint8
+        lib.flake_crc16.argtypes = [u8p, ctypes.c_int64]
+        lib.flake_crc16.restype = ctypes.c_uint16
+        _lib = lib
+        return lib
+
+
+def pack_frames(analysis: dict, frame_nums: np.ndarray, *,
+                block_size: int, channels: int, bps_code: int,
+                sr_code: tuple[int, int], bs_code: tuple[int, int],
+                allow_vbs: int, precision: int, ch_code: int,
+                max_frame_size: int) -> bytes:
+    """Pack a batch of analyzed frames into a contiguous byte stream.
+
+    ``analysis`` holds host numpy arrays from the device pipeline;
+    ``frame_nums`` the per-frame header numbers (frame index, or first
+    sample number in VBS streams)."""
+    lib = get_lib()
+    F = frame_nums.shape[0]
+
+    def a32(name):
+        return np.ascontiguousarray(analysis[name], dtype=np.int32)
+
+    residual = a32("residual")
+    coefs = a32("coefs")
+    rice_k = a32("rice_params")
+    parts_stride = rice_k.shape[-1]
+    out_stride = max_frame_size + 64
+    out = np.empty((F, out_stride), dtype=np.uint8)
+    lengths = np.empty(F, dtype=np.int64)
+
+    lib.flake_pack_frames(
+        residual, coefs, a32("shift"), a32("obits"), a32("wasted"),
+        a32("sf_type"), a32("order"), a32("porder"), a32("method"),
+        rice_k, parts_stride,
+        np.ascontiguousarray(frame_nums, dtype=np.uint32),
+        a32("ch_mode"),
+        F, channels, block_size,
+        bps_code, sr_code[0], sr_code[1], bs_code[0], bs_code[1],
+        allow_vbs, precision, ch_code,
+        out.reshape(-1), out_stride, lengths)
+
+    offsets = np.zeros(F, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    total = int(offsets[-1] + lengths[-1]) if F else 0
+    dest = np.empty(total, dtype=np.uint8)
+    lib.flake_stitch(out.reshape(-1), F, out_stride, lengths, offsets,
+                     dest)
+    return dest.tobytes(), lengths

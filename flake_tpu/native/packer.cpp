@@ -1,0 +1,259 @@
+// flake-tpu native runtime: FLAC bitstream packer, CRC, stream stitcher.
+//
+// Host-side counterpart of the device analysis pipeline: receives the
+// per-frame selection tensors and residuals computed on TPU and emits
+// FLAC frames (header + subframes + Rice codes + CRC-8/16), parallel
+// over frames with OpenMP. This is the native analogue of the
+// reference's bitio.h/encode.c emission layer, re-architected for
+// batch operation: frames are packed independently into strided slots
+// and stitched once lengths are known.
+//
+// Reference semantics mirrored here:
+//   frame header layout + CRC-8  (reference encode.c:718-764)
+//   UTF-8 frame numbers          (encode.c:700-716)
+//   subframe headers/wasted bits (encode.c:871-905)
+//   Rice partitions              (encode.c:766-798)
+//   footer CRC-16                (encode.c:907-917)
+
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// ---------------------------------------------------------------- CRC --
+
+struct CrcTables {
+    uint8_t crc8[256];
+    uint16_t crc16[256];
+    CrcTables() {
+        for (int i = 0; i < 256; i++) {
+            unsigned c8 = i;
+            for (int j = 0; j < 8; j++)
+                c8 = (c8 & 0x80) ? (c8 << 1) ^ 0x107 : (c8 << 1);
+            crc8[i] = static_cast<uint8_t>(c8 & 0xFF);
+            unsigned c16 = i;
+            for (int j = 0; j < 16; j++)
+                c16 = (c16 & 0x8000) ? (c16 << 1) ^ 0x18005 : (c16 << 1);
+            crc16[i] = static_cast<uint16_t>(c16 & 0xFFFF);
+        }
+    }
+};
+const CrcTables kCrc;
+
+inline uint8_t calc_crc8(const uint8_t* data, int64_t len) {
+    uint8_t crc = 0;
+    for (int64_t i = 0; i < len; i++) crc = kCrc.crc8[crc ^ data[i]];
+    return crc;
+}
+
+inline uint16_t calc_crc16(const uint8_t* data, int64_t len) {
+    uint16_t crc = 0;
+    for (int64_t i = 0; i < len; i++)
+        crc = static_cast<uint16_t>(kCrc.crc16[(crc >> 8) ^ data[i]]
+                                    ^ (crc << 8));
+    return crc;
+}
+
+// ---------------------------------------------------------- BitWriter --
+
+// 64-bit accumulator MSB-first writer; assumes the caller sized the
+// buffer (device computed exact frame bytes).
+struct BitWriter {
+    uint8_t* buf;
+    int64_t pos;        // bytes flushed
+    uint64_t acc;
+    int nacc;
+
+    explicit BitWriter(uint8_t* b) : buf(b), pos(0), acc(0), nacc(0) {}
+
+    inline void put(int bits, uint64_t val) {
+        acc = (acc << bits) | (val & ((bits == 64)
+                                      ? ~0ULL : ((1ULL << bits) - 1)));
+        nacc += bits;
+        while (nacc >= 8) {
+            nacc -= 8;
+            buf[pos++] = static_cast<uint8_t>((acc >> nacc) & 0xFF);
+        }
+    }
+
+    inline void put_signed(int bits, int64_t val) {
+        put(bits, static_cast<uint64_t>(val) & ((1ULL << bits) - 1));
+    }
+
+    inline void rice(int k, int32_t val) {
+        // zigzag (bitio.h:127-129)
+        uint32_t v = static_cast<uint32_t>((val << 1) ^ (val >> 31));
+        uint32_t q = v >> k;
+        while (q >= 48) {           // long unary runs in byte chunks
+            put(48, 0);
+            q -= 48;
+        }
+        put(static_cast<int>(q) + 1, 1);
+        put(k, v & ((1U << k) - 1));
+    }
+
+    inline void flush() {          // zero-pad to byte boundary
+        if (nacc > 0) {
+            buf[pos++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFF);
+            nacc = 0;
+        }
+        acc = 0;
+    }
+
+    inline int64_t count() const { return pos + ((nacc + 7) >> 3); }
+};
+
+inline void write_utf8(BitWriter& bw, uint32_t val) {
+    if (val < 0x80) { bw.put(8, val); return; }
+    int lg = 31 - __builtin_clz(val);
+    int bytes = (lg + 4) / 5;
+    int shift = (bytes - 1) * 6;
+    bw.put(8, (256 - (256 >> bytes)) | (val >> shift));
+    while (shift >= 6) {
+        shift -= 6;
+        bw.put(8, 0x80 | ((val >> shift) & 0x3F));
+    }
+}
+
+constexpr int SF_CONSTANT = 0;
+constexpr int SF_VERBATIM = 1;
+constexpr int SF_FIXED = 8;
+constexpr int SF_LPC = 32;
+
+}  // namespace
+
+extern "C" {
+
+// Pack F frames into strided slots out[f * out_stride ...].
+// Per-frame data is indexed [f * C + c] (and * B or * 32 or
+// * parts_stride for the wide arrays). Returns per-frame byte lengths.
+void flake_pack_frames(
+    const int32_t* residual,    // [F, C, B]
+    const int32_t* coefs,       // [F, C, 32]
+    const int32_t* shift,       // [F, C]
+    const int32_t* obits,       // [F, C]
+    const int32_t* wasted,      // [F, C]
+    const int32_t* sf_type,     // [F, C]
+    const int32_t* order,       // [F, C]
+    const int32_t* porder,      // [F, C]
+    const int32_t* method,      // [F, C]
+    const int32_t* rice_k,      // [F, C, parts_stride]
+    int parts_stride,
+    const uint32_t* frame_num,  // [F]
+    const int32_t* ch_mode,     // [F] (0 = not stereo)
+    int F, int C, int B,
+    int bps_code, int sr_code0, int sr_code1,
+    int bs_code0, int bs_code1,
+    int allow_vbs, int precision, int ch_code,
+    uint8_t* out, int64_t out_stride,
+    int64_t* lengths) {
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int f = 0; f < F; f++) {
+        uint8_t* slot = out + static_cast<int64_t>(f) * out_stride;
+        BitWriter bw(slot);
+
+        // ---- frame header (encode.c:718-764) ----
+        bw.put(15, 0x7FFC);
+        bw.put(1, allow_vbs);
+        bw.put(4, bs_code0);
+        bw.put(4, sr_code0);
+        bw.put(4, ch_mode[f] ? ch_mode[f] : ch_code);
+        bw.put(3, bps_code);
+        bw.put(1, 0);
+        write_utf8(bw, frame_num[f]);
+        if (bs_code1 >= 0) bw.put(bs_code1 < 256 ? 8 : 16, bs_code1);
+        if (sr_code1 > 0) bw.put(sr_code1 < 256 ? 8 : 16, sr_code1);
+        bw.flush();
+        bw.put(8, calc_crc8(slot, bw.pos));
+
+        // ---- subframes (encode.c:871-905) ----
+        for (int c = 0; c < C; c++) {
+            const int64_t fc = static_cast<int64_t>(f) * C + c;
+            const int32_t* res = residual + fc * B;
+            const int ob = obits[fc];
+            const int w = wasted[fc];
+            const int typ = sf_type[fc];
+            const int ord = order[fc];
+
+            bw.put(1, 0);
+            int type_code = typ;
+            if (typ == SF_FIXED) type_code = SF_FIXED | ord;
+            else if (typ == SF_LPC) type_code = SF_LPC | (ord - 1);
+            bw.put(6, type_code);
+            if (w) {
+                bw.put(1, 1);
+                for (int z = 0; z < w - 1; z += 32)
+                    bw.put(w - 1 - z < 32 ? w - 1 - z : 32, 0);
+                bw.put(1, 1);
+            } else {
+                bw.put(1, 0);
+            }
+
+            if (typ == SF_CONSTANT) {
+                bw.put_signed(ob, res[0]);
+                continue;
+            }
+            if (typ == SF_VERBATIM) {
+                for (int i = 0; i < B; i++) bw.put_signed(ob, res[i]);
+                continue;
+            }
+            // warm-up samples
+            for (int i = 0; i < ord; i++) bw.put_signed(ob, res[i]);
+            if (typ == SF_LPC) {
+                bw.put(4, precision - 1);
+                bw.put_signed(5, shift[fc]);
+                const int32_t* cf = coefs + fc * 32;
+                for (int i = 0; i < ord; i++)
+                    bw.put_signed(precision, cf[i]);
+            }
+            // ---- Rice partitions (encode.c:766-798) ----
+            const int po = porder[fc];
+            const int param_bits = 4 + method[fc];
+            const int psize = B >> po;
+            const int32_t* ks = rice_k + fc * parts_stride;
+            bw.put(2, method[fc]);
+            bw.put(4, po);
+            int j = ord;
+            int cnt = psize - ord;
+            for (int p = 0; p < (1 << po); p++) {
+                const int k = ks[p];
+                bw.put(param_bits, k);
+                for (int i = 0; i < cnt && j < B; i++, j++)
+                    bw.rice(k, res[j]);
+                cnt = psize;
+            }
+        }
+
+        // ---- footer (encode.c:907-917) ----
+        bw.flush();
+        const uint16_t crc = calc_crc16(slot, bw.pos);
+        bw.put(16, crc);
+        bw.flush();
+        lengths[f] = bw.pos;
+    }
+}
+
+// Concatenate strided frame slots into a contiguous stream.
+void flake_stitch(const uint8_t* bufs, int F, int64_t stride,
+                  const int64_t* lengths, const int64_t* offsets,
+                  uint8_t* dest) {
+#pragma omp parallel for schedule(static)
+    for (int f = 0; f < F; f++) {
+        std::memcpy(dest + offsets[f],
+                    bufs + static_cast<int64_t>(f) * stride, lengths[f]);
+    }
+}
+
+uint8_t flake_crc8(const uint8_t* data, int64_t len) {
+    return calc_crc8(data, len);
+}
+
+uint16_t flake_crc16(const uint8_t* data, int64_t len) {
+    return calc_crc16(data, len);
+}
+
+}  // extern "C"

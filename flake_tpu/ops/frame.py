@@ -1,0 +1,332 @@
+"""Batched per-frame analysis: the device-side encoder pipeline.
+
+This is the TPU-first inversion of the reference's per-frame call stack
+(SURVEY §3.2): everything the reference does serially per frame/channel/
+candidate-order happens here as dense ops over a [F, C, B] batch —
+stereo-mode estimation, wasted-bit removal, LPC analysis, the
+order-method searches (MAX/EST/2-4-8LEVEL/SEARCH/LOG, optimize.c:196-261
+with identical selection semantics), and the Rice partition search.
+
+Output is a FrameAnalysis pytree of small per-frame selection tensors
+plus the final residual block; the bitstream back-end (native C++ packer
+or the device packer) turns it into FLAC frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flake_tpu import params as P
+from flake_tpu.ops import lpc as lpc_ops
+from flake_tpu.ops import predict, stereo, wasted
+from flake_tpu.ops.rice import (
+    calc_rice_params_dynamic,
+    subframe_bits,
+    subframe_bits_dynamic,
+)
+
+U32MAX = 0xFFFFFFFF  # plain int: no device arrays at import time
+
+SF_CONSTANT = 0
+SF_VERBATIM = 1
+SF_FIXED = 8
+SF_LPC = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    """Static (compile-time) encoding configuration for one jit
+    specialisation: block size, channels, bit depth + the search params
+    (subset of EncodeParams that shapes the computation)."""
+
+    block_size: int
+    channels: int
+    bps: int
+    prediction_type: int
+    order_method: int
+    stereo_method: int
+    min_prediction_order: int
+    max_prediction_order: int
+    min_partition_order: int
+    max_partition_order: int
+    precision: int = P.LPC_PRECISION
+    lpc_dtype: str = "float64"
+
+    @classmethod
+    def from_params(cls, p: P.EncodeParams, channels: int, bps: int,
+                    block_size: int | None = None,
+                    lpc_dtype: str = "float64"):
+        return cls(
+            block_size=block_size or p.block_size,
+            channels=channels, bps=bps,
+            prediction_type=int(p.prediction_type),
+            order_method=int(p.order_method),
+            stereo_method=int(p.stereo_method),
+            min_prediction_order=int(p.min_prediction_order),
+            max_prediction_order=int(p.max_prediction_order),
+            min_partition_order=int(p.min_partition_order),
+            max_partition_order=int(p.max_partition_order),
+            lpc_dtype=lpc_dtype,
+        )
+
+
+def _select_order_log(bits_all, min_order: int, max_order: int):
+    """Vectorised emulation of the LOG step-halving search
+    (optimize.c:239-261): deterministic given the full per-order bits
+    tensor; visits the same candidates and applies the same strict-<
+    updates, so it selects exactly the reference's order.
+
+    bits_all uint64 [..., max_order] (u32-truncated counts).
+    Returns opt order (1-based) int32 [...]."""
+    batch = bits_all.shape[:-1]
+    opt = jnp.full(batch, min_order - 1 + (max_order - min_order) // 3,
+                   dtype=jnp.int32)
+    visited = jnp.zeros(batch + (max_order,), dtype=bool)
+    arange = jnp.arange(max_order, dtype=jnp.int32)
+
+    def bits_at(i):
+        return jnp.take_along_axis(bits_all, i[..., None]
+                                   .clip(0, max_order - 1),
+                                   axis=-1)[..., 0]
+
+    def visited_at(i):
+        return jnp.take_along_axis(visited, i[..., None]
+                                   .clip(0, max_order - 1),
+                                   axis=-1)[..., 0]
+
+    for step in (16, 8, 4, 2, 1):
+        last = opt
+        for d in (-step, 0, step):
+            i = last + d
+            in_range = (i >= min_order - 1) & (i < max_order)
+            fresh = in_range & ~visited_at(i)
+            # bits of current opt: UINT32_MAX until it has been visited
+            opt_bits = jnp.where(visited_at(opt), bits_at(opt), U32MAX)
+            better = fresh & (bits_at(i) < opt_bits)
+            visited = visited | (fresh[..., None]
+                                 & (arange == i[..., None]))
+            opt = jnp.where(better, i, opt)
+    return opt + 1
+
+
+def _select_order_level(bits_list, orders, batch):
+    """2/4/8-LEVEL selection (optimize.c:202-223): scan candidates from
+    the highest order down with strict <; ties keep the earlier (higher)
+    candidate. ``bits_list``/``orders`` are aligned, highest first."""
+    best_bits = bits_list[0]
+    best_order = jnp.full(batch, orders[0], dtype=jnp.int32)
+    for bits, order in zip(bits_list[1:], orders[1:]):
+        take = bits < best_bits
+        best_bits = jnp.where(take, bits, best_bits)
+        best_order = jnp.where(take, order, best_order)
+    return best_order + 1
+
+
+def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
+    """Analyze a batch of frames.
+
+    samples: int32 [F, B, C] (deinterleaved on the final axis).
+    hdr_bits: int32 [F] — frame-header bit count incl. CRC-8 (depends on
+      the frame/sample number's UTF-8 length, known to the caller). When
+      given, exact frame byte lengths are computed and the verbatim
+      fallback (encode.c:949-964) is applied on device.
+    Returns a dict of per-frame/channel selection tensors + residuals.
+    """
+    n = cfg.block_size
+    C = cfg.channels
+    F = samples.shape[0]
+    dtype = jnp.float64 if cfg.lpc_dtype == "float64" else jnp.float32
+
+    chans = jnp.transpose(samples, (0, 2, 1))  # [F, C, B]
+    obits = jnp.full((F, C), cfg.bps, dtype=jnp.int32)
+
+    # -- stereo decorrelation (encode.c:648-694) -------------------------
+    if C == 2 and n > 32 and cfg.stereo_method == P.StereoMethod.ESTIMATE:
+        mode = stereo.decorr_mode(chans[:, 0], chans[:, 1], n)
+        ch0, ch1, extra = stereo.apply_decorr(chans[:, 0], chans[:, 1],
+                                              mode)
+        chans = jnp.stack([ch0, ch1], axis=1)
+        obits = obits + extra
+    elif C == 2:
+        mode = jnp.full((F,), stereo.LEFT_RIGHT, dtype=jnp.int32)
+    else:
+        mode = jnp.full((F,), stereo.NOT_STEREO, dtype=jnp.int32)
+
+    # -- wasted bits (encode.c:558-593) ----------------------------------
+    chans, wasted_bits = wasted.remove_wasted_bits(chans, cfg.bps)
+    obits = obits - wasted_bits
+
+    # -- constant detection (optimize.c:143-151) -------------------------
+    constant = jnp.all(chans == chans[..., :1], axis=-1)  # [F, C]
+
+    # -- subframe search -------------------------------------------------
+    pmin, pmax = cfg.min_partition_order, cfg.max_partition_order
+    if n < 5 or cfg.prediction_type == P.Prediction.NONE:
+        # VERBATIM for every subframe (optimize.c:153-158)
+        order = jnp.zeros((F, C), jnp.int32)
+        sf_type = jnp.full((F, C), SF_VERBATIM, jnp.int32)
+        shift = jnp.zeros((F, C), jnp.int32)
+        coefs = jnp.zeros((F, C, P.MAX_LPC_ORDER), jnp.int32)
+        res = chans
+        rc = {
+            "porder": jnp.zeros((F, C), jnp.int32),
+            "method": jnp.zeros((F, C), jnp.int32),
+            "params": jnp.zeros((F, C, 1 << pmax), jnp.int32),
+        }
+    elif (cfg.prediction_type == P.Prediction.FIXED
+          or n <= cfg.max_prediction_order):
+        # FIXED path (optimize.c:167-190)
+        min_o = cfg.min_prediction_order
+        max_o = min(cfg.max_prediction_order, 4)
+        best_bits, best_order = None, None
+        for o in range(min_o, max_o + 1):
+            r = predict.residual_fixed(chans, o)
+            bits = subframe_bits(r, n, o, obits, pmin, pmax, 0, False)
+            if best_bits is None:
+                best_bits = bits
+                best_order = jnp.full((F, C), o, jnp.int32)
+            else:
+                take = bits < best_bits  # ascending strict <
+                best_bits = jnp.where(take, bits, best_bits)
+                best_order = jnp.where(take, o, best_order)
+        order = best_order
+        # final residual: recompute per candidate, select
+        res = predict.residual_fixed(chans, min_o)
+        for o in range(min_o + 1, max_o + 1):
+            res = jnp.where((order == o)[..., None],
+                            predict.residual_fixed(chans, o), res)
+        rc = calc_rice_params_dynamic(res, n, order, pmin, pmax)
+        sf_type = jnp.full((F, C), SF_FIXED, jnp.int32)
+        shift = jnp.zeros((F, C), jnp.int32)
+        coefs = jnp.zeros((F, C, P.MAX_LPC_ORDER), jnp.int32)
+    else:
+        # LPC path (optimize.c:192-275)
+        min_o = cfg.min_prediction_order
+        max_o = cfg.max_prediction_order
+        window = lpc_ops.welch_window(n)
+        autoc = lpc_ops.autocorr(chans, max_o, jnp.asarray(window), dtype)
+        lpc_rows, refs = lpc_ops.levinson_all_orders(autoc)
+        qcoefs, shifts = lpc_ops.quantize_lpc_coefs(lpc_rows,
+                                                    cfg.precision)
+
+        method = cfg.order_method
+        need_bits = method not in (P.OrderMethod.MAX, P.OrderMethod.EST)
+        bits_all = None
+        if need_bits:
+            # candidate-order sweep as a scan: fixed-shape body (masked
+            # taps + dynamic-order rice search) evaluated per order —
+            # the batched form of the optimize.c:224-238 search loop
+            def cand(_, xs):
+                coef_row, shift_row, o = xs
+                o_arr = jnp.full((F, C), o, jnp.int32)
+                r = predict.residual_lpc_dynamic(
+                    chans, coef_row, shift_row, o_arr, max_o)
+                bits = subframe_bits_dynamic(
+                    r, n, o_arr, obits, pmin, pmax, cfg.precision, True)
+                return None, bits
+
+            xs = (jnp.moveaxis(qcoefs, -2, 0),   # [max_o, F, C, 32]
+                  jnp.moveaxis(shifts, -1, 0),   # [max_o, F, C]
+                  jnp.arange(1, max_o + 1, dtype=jnp.int32))
+            _, stacked = jax.lax.scan(cand, None, xs)
+            bits_all = jnp.moveaxis(stacked, 0, -1)  # [F, C, max_o]
+
+        if method == P.OrderMethod.MAX:
+            order = jnp.full((F, C), max_o, jnp.int32)
+        elif method == P.OrderMethod.EST:
+            order = lpc_ops.estimate_order(refs, max_o)
+        elif method in (P.OrderMethod.LEVEL2, P.OrderMethod.LEVEL4,
+                        P.OrderMethod.LEVEL8):
+            levels = 1 << (method - 1)
+            cand = []
+            for i in range(levels - 1, -1, -1):
+                o = min_o + (((max_o - min_o + 1) * (i + 1))
+                             // levels) - 2
+                cand.append(max(o, 0))
+            order = _select_order_level(
+                [bits_all[..., o] for o in cand], cand, (F, C))
+        elif method == P.OrderMethod.SEARCH:
+            order = jnp.argmin(bits_all[..., :max_o], axis=-1) \
+                .astype(jnp.int32) + 1
+        elif method == P.OrderMethod.LOG:
+            order = _select_order_log(bits_all, min_o, max_o)
+        else:
+            raise ValueError(f"bad order method {method}")
+
+        row = (order - 1)[..., None]
+        coefs = jnp.take_along_axis(
+            qcoefs, row[..., None].clip(0, max_o - 1), axis=-2)[..., 0, :]
+        shift = jnp.take_along_axis(shifts, row.clip(0, max_o - 1),
+                                    axis=-1)[..., 0]
+        res = predict.residual_lpc_dynamic(chans, coefs, shift, order,
+                                           max_o)
+        rc = calc_rice_params_dynamic(res, n, order, pmin, pmax)
+        sf_type = jnp.full((F, C), SF_LPC, jnp.int32)
+
+    # -- CONSTANT override (checked first in the reference) --------------
+    sf_type = jnp.where(constant, SF_CONSTANT, sf_type)
+    order = jnp.where(constant, 0, order)
+    res = jnp.where(constant[..., None], chans, res)
+
+    # -- exact frame size + device-side verbatim fallback ----------------
+    frame_bytes = None
+    if hdr_bits is not None:
+        ob64 = obits.astype(jnp.int64)
+        sub_hdr = 8 + jnp.where(wasted_bits > 0, wasted_bits, 0) \
+            .astype(jnp.int64)
+        exact_rice = rc.get("exact_rice_bits",
+                            jnp.zeros((F, C), jnp.uint64)) \
+            .astype(jnp.int64)
+        o64 = order.astype(jnp.int64)
+        body = jnp.where(
+            sf_type == SF_CONSTANT, ob64,
+            jnp.where(sf_type == SF_VERBATIM, n * ob64,
+                      jnp.where(sf_type == SF_FIXED,
+                                o64 * ob64 + 6 + exact_rice,
+                                o64 * ob64 + 9 + o64 * cfg.precision
+                                + 6 + exact_rice)))
+        total_bits = hdr_bits.astype(jnp.int64) \
+            + (sub_hdr + body).sum(axis=-1)
+        frame_bytes = ((total_bits + 7) >> 3) + 2     # align + CRC-16
+
+        # verbatim re-encode when the frame exceeds the uncompressed
+        # bound (encode.c:949-964); verbatim stores the decorrelated,
+        # wasted-shifted samples, exactly like reencode_residual_verbatim
+        vsize = P.max_frame_size(n, C, cfg.bps)
+        fb = frame_bytes > vsize
+        sf_type = jnp.where(fb[..., None], SF_VERBATIM, sf_type)
+        order = jnp.where(fb[..., None], 0, order)
+        res = jnp.where(fb[..., None, None], chans, res)
+        vb_total = hdr_bits.astype(jnp.int64) \
+            + (sub_hdr + n * ob64).sum(axis=-1)
+        frame_bytes = jnp.where(fb, ((vb_total + 7) >> 3) + 2,
+                                frame_bytes)
+
+    type_code = jnp.where(
+        sf_type == SF_FIXED, SF_FIXED + order,
+        jnp.where(sf_type == SF_LPC, SF_LPC + order - 1, sf_type))
+
+    return {
+        "ch_mode": mode,                 # [F]
+        "obits": obits,                  # [F, C]
+        "wasted": wasted_bits,           # [F, C]
+        "sf_type": sf_type,              # [F, C] 0/1/8/32
+        "type_code": type_code,          # [F, C] 6-bit header code
+        "order": order,                  # [F, C]
+        "coefs": coefs,                  # [F, C, 32] int32
+        "shift": shift,                  # [F, C]
+        "porder": rc["porder"],          # [F, C]
+        "method": rc["method"],          # [F, C]
+        "rice_params": rc["params"],     # [F, C, 2^pmax_static]
+        "residual": res,                 # [F, C, B] int32
+        "frame_bytes": frame_bytes,      # [F] int64 or None
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def analyze_frames_jit(samples, cfg: FrameConfig, hdr_bits=None):
+    return analyze_frames(samples, cfg, hdr_bits)

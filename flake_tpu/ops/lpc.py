@@ -1,0 +1,188 @@
+"""Batched LPC analysis: Welch window, autocorrelation, Levinson-Durbin,
+coefficient quantization.
+
+TPU-first restatement of the reference analysis chain (lpc.c):
+
+- windowing + autocorrelation are dense vector ops over [..., B] blocks
+  (lpc.c:28-71), keeping the reference's additive +2.0 bias per lag (its
+  temp/temp2 initialisation) which regularises silent frames;
+- the Levinson recursion keeps its true sequential dependency over order
+  (SURVEY §2.5) but as a <=32-step statically unrolled loop whose body is
+  fully vectorised over the batch — the reflection coefficients produced
+  at each step double as the EST order estimator's input (lpc.c:149-156),
+  so no separate Schur pass is needed;
+- quantization reproduces the shift search and error-feedback rounding
+  exactly (lpc.c:167-219), vectorised over batch and candidate order.
+
+Float dtype is configurable: float64 matches the reference's doubles
+(software-emulated on TPU), float32 trades exact parity of the *search*
+for speed — either way the emitted stream stays valid and lossless
+because residuals are integer-exact against whatever coefficients were
+chosen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from flake_tpu import params as P
+
+
+def welch_window(n: int, dtype=np.float64) -> np.ndarray:
+    """Welch window matching lpc.c:28-40 (host-computed constant).
+
+    The reference computes w(i) = 1 - (c - i)^2 with c = 2/(n-1) - 1 and
+    mirrors it; for odd n the centre point follows the same formula."""
+    c = (2.0 / (n - 1.0)) - 1.0
+    w = np.empty(n, dtype=np.float64)
+    half = n >> 1
+    i = np.arange(half, dtype=np.float64)
+    wi = 1.0 - ((c - i) * (c - i))
+    w[:half] = wi
+    w[n - 1 - np.arange(half)] = wi
+    if n & 1:
+        w[half] = 1.0 - ((c - half) * (c - half))
+    return w.astype(dtype)
+
+
+def autocorr(x, max_order: int, window, dtype=jnp.float64):
+    """Windowed autocorrelation for lags 0..max_order (lpc.c:46-71).
+
+    ``x`` int32 [..., B]; returns [..., max_order+1] float. Each lag is a
+    masked elementwise product-sum — XLA fuses the shifts; the +2.0 lag
+    bias replicates the reference's accumulator initialisation."""
+    n = x.shape[-1]
+    d = x.astype(dtype) * window.astype(dtype)
+    cols = []
+    for lag in range(max_order + 1):
+        if lag == 0:
+            s = jnp.sum(d * d, axis=-1)
+        else:
+            s = jnp.sum(d[..., lag:] * d[..., :n - lag], axis=-1)
+        cols.append(s + 2.0)
+    return jnp.stack(cols, axis=-1)
+
+
+def levinson_all_orders(autoc):
+    """Levinson-Durbin producing coefficients for *every* order at once
+    (lpc.c:77-117), vectorised over the batch.
+
+    The in-place symmetric update of the reference (including its odd
+    middle-element special case, lpc.c:104-111) is exactly
+    ``tmp[:i] += r * tmp[:i][::-1]`` — the middle element sees r*itself.
+    Implemented as a lax.scan over the order dimension with fixed-width
+    masked updates (the recursion is the one true sequential dependency
+    of the analysis, SURVEY §2.5 — depth <=32, batch-wide body).
+
+    Returns:
+      lpc  [..., max_order, MAX_LPC_ORDER] float: row o-1 holds the
+           coefficients for order o (negated, prediction convention)
+      refs [..., max_order] float: reflection coefficient per step,
+           used by the EST order estimator.
+    """
+    import jax
+
+    max_order = autoc.shape[-1] - 1
+    batch = autoc.shape[:-1]
+    dtype = autoc.dtype
+    W = P.MAX_LPC_ORDER
+    taps = jnp.arange(W)
+    tiny = jnp.finfo(dtype).tiny
+
+    def step(carry, i):
+        tmp, err = carry
+        # r = (-autoc[i+1] - sum_{j<i} tmp[j]*autoc[i-j]) / err
+        ac_rev = jnp.take_along_axis(
+            autoc, jnp.broadcast_to(jnp.clip(i - taps, 0, max_order),
+                                    batch + (W,)), axis=-1)
+        prods = jnp.where(taps < i, tmp * ac_rev, 0.0)
+        r = -jnp.take_along_axis(
+            autoc, jnp.broadcast_to(i + 1, batch + (1,)), axis=-1)[..., 0]
+        r = r - prods.sum(axis=-1)
+        safe_err = jnp.where(err == 0.0, tiny, err)  # NaN guard only
+        r = r / safe_err
+        err = err * (1.0 - r * r)
+        # symmetric update tmp[:i] += r * tmp[:i][::-1], then tmp[i] = r
+        rev = jnp.take_along_axis(
+            tmp, jnp.broadcast_to(jnp.clip(i - 1 - taps, 0, W - 1),
+                                  batch + (W,)), axis=-1)
+        tmp = jnp.where(taps < i, tmp + r[..., None] * rev, tmp)
+        tmp = jnp.where(taps == i, r[..., None], tmp)
+        row = jnp.where(taps <= i, -tmp, 0.0)
+        return (tmp, err), (row, r)
+
+    init = (jnp.zeros(batch + (W,), dtype=dtype), autoc[..., 0])
+    _, (rows, refs) = jax.lax.scan(step, init,
+                                   jnp.arange(max_order))
+    # scan stacks on axis 0 -> move order axis into place
+    perm = tuple(range(1, rows.ndim - 1)) + (0, rows.ndim - 1)
+    rows = jnp.transpose(rows, perm)
+    refs = jnp.moveaxis(refs, 0, -1)
+    return rows, refs
+
+
+def estimate_order(refs, max_order: int):
+    """EST order rule: highest step with |ref| > 0.10, min 1
+    (lpc.c:149-156). Returns int32 [...]."""
+    above = jnp.abs(refs) > 0.10                       # [..., max_order]
+    idx = jnp.arange(1, max_order + 1, dtype=jnp.int32)
+    return jnp.maximum(jnp.max(jnp.where(above, idx, 0), axis=-1), 1)
+
+
+def quantize_lpc_coefs(lpc, precision: int):
+    """Quantize per-order coefficient rows (lpc.c:167-219).
+
+    ``lpc`` [..., n_orders, MAX_LPC_ORDER] float where row o-1 uses taps
+    [:o]. Returns (coefs int32 same shape, shift int32 [..., n_orders]).
+
+    Reproduces: the 15-step shift search, the scale-down branch for
+    sh==0 && cmax>qmax, the all-zero early-out, and the error-feedback
+    rounding with C's truncation of (error + 0.5) toward zero.
+    """
+    n_orders = lpc.shape[-2]
+    qmax = (1 << (precision - 1)) - 1
+    taps = jnp.arange(P.MAX_LPC_ORDER)
+    order_of_row = jnp.arange(1, n_orders + 1)[:, None]     # [n_orders,1]
+    valid = taps[None, :] < order_of_row                    # [n_orders,32]
+
+    absl = jnp.where(valid, jnp.abs(lpc), 0.0)
+    cmax = jnp.max(absl, axis=-1)                           # [..., n_orders]
+
+    zero_out = cmax * (1 << 15) < 1.0
+
+    sh = jnp.full(cmax.shape, 15, dtype=jnp.int32)
+    for _ in range(15):
+        dec = (cmax * jnp.exp2(sh.astype(lpc.dtype)) > qmax) & (sh > 0)
+        sh = jnp.where(dec, sh - 1, sh)
+
+    scale_down = (sh == 0) & (cmax > qmax)
+    lpc_s = jnp.where(scale_down[..., None],
+                      lpc * (qmax / jnp.where(cmax == 0, 1.0, cmax))
+                      [..., None],
+                      lpc)
+
+    import jax
+
+    mult = jnp.exp2(sh.astype(lpc.dtype))                   # 2**sh exact
+
+    def step(error, xs):
+        tap, tap_valid = xs
+        e2 = error + tap * mult
+        q = jnp.trunc(e2 + 0.5)
+        q = jnp.where(q <= -qmax, float(-qmax + 1), q)
+        q = jnp.where(q > qmax, float(qmax), q)
+        q = jnp.where(tap_valid, q, 0.0)
+        error = jnp.where(tap_valid, e2 - q, error)
+        return error, q.astype(jnp.int32)
+
+    error0 = jnp.zeros(cmax.shape, dtype=lpc.dtype)
+    vt = jnp.moveaxis(valid, -1, 0).reshape(      # [32, 1.., n_orders]
+        (P.MAX_LPC_ORDER,) + (1,) * (len(cmax.shape) - 1) + (n_orders,))
+    xs = (jnp.moveaxis(lpc_s, -1, 0),
+          jnp.broadcast_to(vt, (P.MAX_LPC_ORDER,) + cmax.shape))
+    _, qs = jax.lax.scan(step, error0, xs)
+    coefs = jnp.moveaxis(qs, 0, -1)
+    coefs = jnp.where(zero_out[..., None], 0, coefs)
+    shift = jnp.where(zero_out, 0, sh)
+    return coefs, shift

@@ -1,0 +1,89 @@
+"""Batched residual computation: fixed predictors and quantized LPC.
+
+TPU-first restatement of optimize.c's residual loops: the per-sample
+switch (optimize.c:84-119) becomes lag-shifted vector multiply-adds over
+the whole block, batched over frames/channels. Accumulation is int64
+(software pairs on TPU) so residuals are bit-exact against the decoder's
+reconstruction — products of (<=26-bit sample) x (15-bit coef) and their
+<=32-term sums must not round.
+
+Warm-up samples pass through as-is (optimize.c:77-79): residual[i] for
+i < order equals the sample itself.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from flake_tpu.ops.common import wrap_int32
+
+# binomial coefficients of the fixed predictors, orders 1-4
+# (optimize.c:45-66); coef[j] applies to smp[i-1-j]
+FIXED_COEFS = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def _lagged(s, j, order, n):
+    """s[..., order-1-j : n-1-j] — the lag-(j+1) window aligned to
+    positions order..n."""
+    return s[..., order - 1 - j:n - 1 - j]
+
+
+def residual_fixed(smp, order: int):
+    """Fixed-predictor residual (optimize.c:34-68). int32 [..., B] in,
+    int32 [..., B] out with warm-up passthrough and C int32 wraparound."""
+    n = smp.shape[-1]
+    if order == 0:
+        return smp
+    s = smp.astype(jnp.int64)
+    pred = jnp.zeros(s.shape[:-1] + (n - order,), dtype=jnp.int64)
+    for j, c in enumerate(FIXED_COEFS[order]):
+        pred = pred + c * _lagged(s, j, order, n)
+    res = wrap_int32(s[..., order:] - pred)
+    return jnp.concatenate([smp[..., :order], res], axis=-1)
+
+
+def residual_lpc(smp, coefs, shift, order: int):
+    """Quantized-LPC residual for one static order (optimize.c:70-122).
+
+    ``coefs`` int32 [..., >=order] (taps beyond order ignored), ``shift``
+    int32 [...]. pred accumulates in int64 and is arithmetic-shifted
+    before subtraction, exactly like the reference."""
+    n = smp.shape[-1]
+    s = smp.astype(jnp.int64)
+    pred = jnp.zeros(s.shape[:-1] + (n - order,), dtype=jnp.int64)
+    for j in range(order):
+        pred = pred + coefs[..., j, None].astype(jnp.int64) \
+            * _lagged(s, j, order, n)
+    pred = pred >> shift[..., None].astype(jnp.int64)
+    res = wrap_int32(s[..., order:] - pred)
+    return jnp.concatenate([smp[..., :order], res], axis=-1)
+
+
+def residual_lpc_dynamic(smp, coefs, shift, order, max_order: int):
+    """LPC residual where ``order`` varies per batch element (int32 [...]).
+
+    Used for the final re-encode after order selection: taps j >= order
+    contribute zero, and positions i < order keep the raw sample
+    (warm-up). One O(max_order * B) pass regardless of the per-frame
+    order — the batched analogue of re-running encode_residual_lpc for
+    the winner (optimize.c:273)."""
+    n = smp.shape[-1]
+    s = smp.astype(jnp.int64)
+    order64 = order[..., None].astype(jnp.int64)
+    pred = jnp.zeros_like(s)
+    for j in range(max_order):
+        # lag j+1 with zero padding at the head; tap active when j < order
+        lag = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :n]
+        tap = jnp.where(j < order64, coefs[..., j, None].astype(jnp.int64),
+                        0)
+        pred = pred + tap * lag
+    pred = pred >> shift[..., None].astype(jnp.int64)
+    idx = jnp.arange(n)
+    res = wrap_int32(s - pred)
+    return jnp.where(idx < order64, smp, res)

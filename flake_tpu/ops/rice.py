@@ -1,0 +1,300 @@
+"""Batched Rice partition-order and parameter search.
+
+TPU-first restatement of the reference's search (rice.c): every serial
+scan becomes a dense tensor reduction — the partition-sum pyramid is a
+reshape-sum plus pairwise folds (rice.c:76-103), the k scan is a 31-wide
+vector argmin (rice.c:30-45), and the partition-order scan is a 9-step
+select (rice.c:105-139). All bit-count accumulators use uint64 arithmetic
+truncated to uint32 exactly like the reference's, so parameter selection
+is bit-for-bit identical (including its wraparound behaviour for tiny
+partition sums).
+
+Shapes: ``res`` is [..., B] with arbitrary leading batch dims.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flake_tpu import params as P
+from flake_tpu.ops.common import u32
+
+MAX_K = P.MAX_RICE_PARAM  # 30
+
+
+def log2i(v: int) -> int:
+    return v.bit_length() - 1 if v > 0 else 0
+
+
+def limit_max_partition_order(max_porder: int, n: int, order: int) -> int:
+    """Static version of rice.c:148-155 (n and order are static here)."""
+    porder = min(max_porder, log2i(n ^ (n - 1)))
+    if order > 0:
+        porder = min(porder, log2i(n // order))
+    return porder
+
+
+def zigzag_u64(res):
+    """Signed residual -> unsigned zigzag (rice.c:121-123), widened to
+    uint64 so partition sums cannot overflow."""
+    d = res.astype(jnp.int64)
+    return ((2 * d) ^ (d >> 63)).astype(jnp.uint64)
+
+
+def _rice_count(sums, cnt, ks):
+    """rice_encode_count (rice.h:48) in uint64 with uint32 truncation.
+
+    ``sums`` uint64 [...], ``cnt`` int, ``ks`` broadcastable int."""
+    cnt64 = jnp.uint64(cnt) if isinstance(cnt, int) else cnt.astype(jnp.uint64)
+    ks64 = jnp.asarray(ks).astype(jnp.uint64)
+    return u32(cnt64 * (ks64 + 1)
+               + ((sums - (cnt64 >> 1)) >> ks64))
+
+
+def find_optimal_k(sums, cnt):
+    """Vectorised k=0..30 scan (rice.c:30-45).
+
+    Returns (k [...], bits u32 [...]). First minimum wins ties, like the
+    reference's strict-< scan."""
+    ks = jnp.arange(MAX_K + 1, dtype=jnp.uint64)
+    if not isinstance(cnt, int):
+        cnt = cnt[..., None]  # broadcast per-partition counts over k axis
+    nbits = _rice_count(sums[..., None], cnt, ks)  # [..., 31]
+    k_opt = jnp.argmin(nbits, axis=-1).astype(jnp.int32)
+    best = jnp.min(nbits, axis=-1)
+    return k_opt, best
+
+
+def partition_pyramid(udata, n: int, order: int, pmax: int):
+    """Partition sums for every level 0..pmax (rice.c:76-103).
+
+    Warm-up samples (first ``order``) are excluded from partition 0 by
+    zeroing them before the reshape-sum. Returns a list ``sums[p]`` of
+    uint64 [..., 2**p] for p in 0..pmax."""
+    psize = n >> pmax
+    if order > 0:
+        mask = jnp.arange(n) >= order
+        udata = jnp.where(mask, udata, jnp.uint64(0))
+    top = udata.reshape(udata.shape[:-1] + (1 << pmax, psize)) \
+        .sum(axis=-1, dtype=jnp.uint64)
+    sums = [None] * (pmax + 1)
+    sums[pmax] = top
+    for p in range(pmax - 1, -1, -1):
+        prev = sums[p + 1]
+        sums[p] = prev[..., 0::2] + prev[..., 1::2]
+    return sums
+
+
+def calc_rice_params(res, n: int, order: int, pmin: int, pmax: int):
+    """Full partition-order + k search for one (static) predictor order.
+
+    Mirrors calc_rice_params (rice.c:105-139) including its tie
+    preference for higher partition orders (<=, rice.c:131).
+
+    Returns dict with:
+      bits    u32 [...]          best total rice bits (+4/partition hdr)
+      porder  int32 [...]        chosen partition order
+      method  int32 [...]        0=RICE, 1=RICE2 (k>14 anywhere)
+      params  int32 [..., 2^pmax] per-partition k (first 2^porder valid)
+    """
+    pmin = limit_max_partition_order(pmin, n, order)
+    pmax = limit_max_partition_order(pmax, n, order)
+
+    udata = zigzag_u64(res)
+    sums = partition_pyramid(udata, n, order, pmax)
+
+    batch = res.shape[:-1]
+    best_bits = None
+    best_porder = None
+    best_method = None
+    best_params = None
+
+    for p in range(pmin, pmax + 1):
+        parts = 1 << p
+        cnt_full = n >> p
+        cnt0 = cnt_full - order
+        cnts = jnp.full((parts,), cnt_full, dtype=jnp.uint64) \
+            .at[0].set(cnt0)
+        k, kb = find_optimal_k(sums[p], cnts)      # [..., parts]
+        bits = u32(kb.astype(jnp.uint64).sum(axis=-1)
+                   + jnp.uint64(4 * parts))
+        method = (k > P.MAX_RICE_PARAM_4BIT).any(axis=-1) \
+            .astype(jnp.int32)
+        params = jnp.zeros(batch + (1 << pmax,), dtype=jnp.int32) \
+            .at[..., :parts].set(k) if parts < (1 << pmax) else k
+
+        if best_bits is None:
+            best_bits, best_porder = bits, jnp.full(batch, p, jnp.int32)
+            best_method, best_params = method, params
+        else:
+            take = bits <= best_bits  # ties -> higher porder (rice.c:131)
+            best_bits = jnp.where(take, bits, best_bits)
+            best_porder = jnp.where(take, p, best_porder)
+            best_method = jnp.where(take, method, best_method)
+            best_params = jnp.where(take[..., None], params, best_params)
+
+    return {
+        "bits": best_bits,
+        "porder": best_porder,
+        "method": best_method,
+        "params": best_params,
+    }
+
+
+def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
+                             want_exact: bool = True):
+    """Partition search where the predictor order varies per batch
+    element (int32 [...]) — used for the final pass after order
+    selection, batching what the reference does one subframe at a time.
+
+    Matches calc_rice_params_common's dynamic clamping of pmin/pmax by
+    log2(n/order) (rice.c:148-155,163-164) via per-element level masks.
+    With ``want_exact`` the per-k shifted-sum pyramids also produce the
+    *exact* emitted bit count (true sum of (v>>k)+1+k per sample), which
+    the selection cost model only approximates (rice.h:48).
+    """
+    pmax_static = limit_max_partition_order(pmax, n, 1)
+    order64 = order[..., None].astype(jnp.int64)
+
+    # per-element level bounds: log2i(n // order), exact integer log
+    ub = jnp.int32(log2i(n ^ (n - 1)))
+    n_over = (n // jnp.maximum(order, 1)).astype(jnp.int64)
+    log2_no = _ilog2(n_over)
+    pmax_eff = jnp.minimum(jnp.minimum(pmax, ub),
+                           jnp.where(order > 0, log2_no, pmax))
+    pmin_eff = jnp.minimum(jnp.minimum(pmin, ub),
+                           jnp.where(order > 0, log2_no, pmin))
+
+    udata = zigzag_u64(res)
+    idx = jnp.arange(n)
+    udata = jnp.where(idx >= order64, udata, jnp.uint64(0))
+
+    psize = n >> pmax_static
+    parts_max = 1 << pmax_static
+
+    def pyramid(base):
+        top = base.reshape(base.shape[:-1] + (parts_max, psize)) \
+            .sum(axis=-1, dtype=jnp.uint64)
+        levels = [None] * (pmax_static + 1)
+        levels[pmax_static] = top
+        for p in range(pmax_static - 1, -1, -1):
+            prev = levels[p + 1]
+            levels[p] = prev[..., 0::2] + prev[..., 1::2]
+        return levels
+
+    sums = pyramid(udata)
+    ssums = None
+    if want_exact:
+        # shifted-sum pyramids for exact emitted-bit counts: S[k][p]
+        # holds sum over partition p of (zigzag >> k) — the true Rice
+        # code length minus the (1+k) per-sample overhead
+        def shift_sum(_, k):
+            t = (udata >> k).reshape(
+                udata.shape[:-1] + (parts_max, psize)) \
+                .sum(axis=-1, dtype=jnp.uint64)
+            return None, t
+
+        _, stop = jax.lax.scan(
+            shift_sum, None, jnp.arange(MAX_K + 1, dtype=jnp.uint64))
+        ssums = [None] * (pmax_static + 1)
+        ssums[pmax_static] = jnp.moveaxis(stop, 0, -2)  # [..., 31, parts]
+        for p in range(pmax_static - 1, -1, -1):
+            prev = ssums[p + 1]
+            ssums[p] = prev[..., 0::2] + prev[..., 1::2]
+
+    batch = res.shape[:-1]
+    best_bits = jnp.full(batch, 0xFFFFFFFF, dtype=jnp.uint64)
+    best_exact = jnp.zeros(batch, dtype=jnp.uint64)
+    best_porder = jnp.zeros(batch, dtype=jnp.int32)
+    best_method = jnp.zeros(batch, dtype=jnp.int32)
+    best_params = jnp.zeros(batch + (parts_max,), dtype=jnp.int32)
+
+    for p in range(0, pmax_static + 1):
+        parts = 1 << p
+        cnt_full = jnp.uint64(n >> p)
+        cnt0 = cnt_full - order.astype(jnp.uint64)
+        cnts = jnp.broadcast_to(cnt_full, batch + (parts,))
+        cnts = cnts.at[..., 0].set(cnt0) if parts > 1 \
+            else cnt0[..., None]
+        k, kb = find_optimal_k(sums[p], cnts)
+        bits = u32(kb.astype(jnp.uint64).sum(axis=-1)
+                   + jnp.uint64(4 * parts))
+        method = (k > P.MAX_RICE_PARAM_4BIT).any(axis=-1) \
+            .astype(jnp.int32)
+        params = jnp.zeros(batch + (parts_max,), dtype=jnp.int32) \
+            .at[..., :parts].set(k) if parts < parts_max else k
+
+        # exact bits: sum_p [ S_p(k_p) + cnt_p*(1+k_p) + param_bits ]
+        exact = jnp.uint64(0)
+        if want_exact:
+            s_sel = jnp.take_along_axis(
+                ssums[p], k[..., None, :].astype(jnp.int64),
+                axis=-2)[..., 0, :]
+            param_bits = (jnp.uint64(4) + method.astype(jnp.uint64))
+            exact = (s_sel + cnts * (1 + k.astype(jnp.uint64))) \
+                .sum(axis=-1) + param_bits * parts
+
+        valid = (p >= pmin_eff) & (p <= pmax_eff)
+        take = valid & (bits <= best_bits)
+        best_bits = jnp.where(take, bits, best_bits)
+        best_exact = jnp.where(take, exact, best_exact)
+        best_porder = jnp.where(take, p, best_porder)
+        best_method = jnp.where(take, method, best_method)
+        best_params = jnp.where(take[..., None], params, best_params)
+
+    return {
+        "bits": best_bits,
+        "porder": best_porder,
+        "method": best_method,
+        "params": best_params,
+        # exact residual-section bits excluding the 2+4 method/porder
+        # fields (added by the caller with the rest of the subframe)
+        "exact_rice_bits": best_exact,
+    }
+
+
+def subframe_bits_dynamic(res, n: int, order, obits, pmin: int,
+                          pmax: int, precision: int, is_lpc: bool):
+    """Estimated subframe bits with per-element predictor order
+    (rice.c:157-171) — the scan-body form used by the batched
+    candidate-order search."""
+    rc = calc_rice_params_dynamic(res, n, order, pmin, pmax,
+                                  want_exact=False)
+    o64 = order.astype(jnp.uint64)
+    overhead = o64 * obits.astype(jnp.uint64) + 2
+    if is_lpc:
+        overhead = overhead + (4 + 5 + o64 * precision)
+    return u32(rc["bits"].astype(jnp.uint64) + overhead
+               + rc["method"].astype(jnp.uint64) + 4)
+
+
+def _ilog2(x):
+    """floor(log2(x)) for positive int64 x, elementwise (log2i,
+    common.h:53-65)."""
+    r = jnp.zeros_like(x)
+    v = x
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (jnp.int64(1) << s)
+        r = jnp.where(big, r + s, r)
+        v = jnp.where(big, v >> s, v)
+    return r.astype(jnp.int32)
+
+
+def subframe_bits(res, n: int, order: int, obits, pmin: int, pmax: int,
+                  precision: int, is_lpc: bool, full: bool = False):
+    """Total estimated subframe bits incl. warm-up/coef/header overhead
+    (rice.c:157-171). ``obits`` may be a per-element array.
+
+    With ``full=True`` also returns the chosen (porder, method, params).
+    """
+    rc = calc_rice_params(res, n, order, pmin, pmax)
+    overhead = order * (obits.astype(jnp.uint64) if hasattr(obits, "astype")
+                        else jnp.uint64(obits)) + 2
+    if is_lpc:
+        overhead = overhead + (4 + 5 + order * precision)
+    bits = u32(rc["bits"].astype(jnp.uint64) + overhead
+               + rc["method"].astype(jnp.uint64) + 4)
+    if full:
+        return bits, rc
+    return bits

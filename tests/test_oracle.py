@@ -94,7 +94,7 @@ def test_vbs_mixed_content():
     rng = np.random.default_rng(7)
     n = 16384
     pcm = make_test_signal(n, 2, 16, kind="music")
-    burst = (rng.standard_normal((2048, 2)) * 20000).astype(np.int32)
+    burst = np.clip(rng.standard_normal((2048, 2)) * 15000, -32768, 32767).astype(np.int32)
     pcm[5000:7048] = burst
     blob, dec = roundtrip(pcm, level=9)
     assert dec.frames > n // 4096  # at least one superblock split

@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+Validates (SURVEY §2.6): frame data-parallel shard_map produces results
+identical to single-device analysis; the sequence-parallel autocorr with
+ppermute halo matches the dense computation; the pmax collective
+reduces the global max frame size.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as PS
+
+from flake_tpu import params as P
+from flake_tpu.ops import lpc as lpc_ops
+from flake_tpu.ops.frame import FrameConfig, analyze_frames
+from flake_tpu.parallel.mesh import (
+    autocorr_sp,
+    make_mesh,
+    training_step_sharded,
+)
+
+from conftest import make_test_signal
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _frames(F, B, seed=0):
+    pcm = make_test_signal(F * B, 2, 16, seed=seed)
+    return pcm.reshape(F, B, 2)
+
+
+def test_dp_sharded_matches_single_device():
+    F, B = 16, 256
+    cfg = FrameConfig.from_params(P.set_defaults(5), 2, 16, block_size=B)
+    samples = _frames(F, B)
+    hdr = np.full((F,), 48, np.int32)
+
+    mesh = make_mesh(8, sp=1)
+    sharded = training_step_sharded(samples, cfg, hdr, mesh)
+    single = analyze_frames(jnp.asarray(samples), cfg, jnp.asarray(hdr))
+
+    for key in ("sf_type", "order", "porder", "method", "coefs",
+                "shift", "residual", "frame_bytes", "rice_params",
+                "obits", "wasted", "ch_mode"):
+        np.testing.assert_array_equal(
+            np.asarray(sharded[key]), np.asarray(single[key]),
+            err_msg=f"mismatch in {key}")
+    assert int(sharded["global_max_frame_bytes"]) == \
+        int(np.asarray(single["frame_bytes"]).max())
+
+
+def test_dp_sp_mesh_runs():
+    F, B = 8, 256
+    cfg = FrameConfig.from_params(P.set_defaults(8), 2, 16, block_size=B)
+    samples = _frames(F, B, seed=1)
+    hdr = np.full((F,), 48, np.int32)
+    mesh = make_mesh(8, sp=2)
+    out = training_step_sharded(samples, cfg, hdr, mesh)
+    assert np.asarray(out["residual"]).shape == (F, 2, B)
+    assert int(out["global_max_frame_bytes"]) > 0
+
+
+def test_autocorr_sp_matches_dense():
+    """Halo-exchange + psum partial autocorr == dense autocorr."""
+    B, max_order = 512, 12
+    pcm = make_test_signal(B, 2, 16, seed=3)
+    chans = pcm.T[None]  # [1, 2, B]
+    window = lpc_ops.welch_window(B)
+
+    dense = np.asarray(lpc_ops.autocorr(jnp.asarray(chans), max_order,
+                                        jnp.asarray(window)))
+
+    mesh = make_mesh(8, sp=8)
+
+    def run(chans_l, win_l):
+        return autocorr_sp(chans_l, max_order, win_l)
+
+    shard = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(PS(None, None, "sp"), PS("sp")),
+        out_specs=PS(),
+        check_vma=False)
+    got = np.asarray(shard(jnp.asarray(chans), jnp.asarray(window)))
+    np.testing.assert_allclose(got, dense, rtol=1e-10)
