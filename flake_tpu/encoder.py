@@ -20,7 +20,6 @@ import hashlib
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from flake_tpu import metadata
@@ -278,13 +277,10 @@ class Encoder:
                 subs.append((f, int(a) * sec, int(b - a) * sec))
 
         # frame numbers = absolute starting sample (encode.c:970-975)
-        nums, sizes, order_key = [], [], []
-        offset = 0
+        nums, sizes = [], []
         for f, start, size in subs:
             nums.append(base + f * bs + start)
             sizes.append(size)
-            order_key.append(offset)
-            offset += 1
 
         # bucket by block size -> one jit/pack batch per size
         sizes_arr = np.array(sizes)

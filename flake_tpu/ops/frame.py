@@ -224,7 +224,8 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
                 coef_row, shift_row, o = xs
                 o_arr = jnp.full((F, C), o, jnp.int32)
                 r = predict.residual_lpc_dynamic(
-                    chans, coef_row, shift_row, o_arr, max_o)
+                    chans, coef_row, shift_row, o_arr, max_o,
+                    narrow=cfg.bps <= 16)
                 bits = subframe_bits_dynamic(
                     r, n, o_arr, obits, pmin, pmax, cfg.precision, True)
                 return None, bits
@@ -263,7 +264,7 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         shift = jnp.take_along_axis(shifts, row.clip(0, max_o - 1),
                                     axis=-1)[..., 0]
         res = predict.residual_lpc_dynamic(chans, coefs, shift, order,
-                                           max_o)
+                                           max_o, narrow=cfg.bps <= 16)
         rc = calc_rice_params_dynamic(res, n, order, pmin, pmax)
         sf_type = jnp.full((F, C), SF_LPC, jnp.int32)
 

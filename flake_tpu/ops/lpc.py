@@ -85,28 +85,36 @@ def levinson_all_orders(autoc):
 
     max_order = autoc.shape[-1] - 1
     batch = autoc.shape[:-1]
+    nb = len(batch)
     dtype = autoc.dtype
     W = P.MAX_LPC_ORDER
     taps = jnp.arange(W)
     tiny = jnp.finfo(dtype).tiny
+    # static flip once; per-step reversals become contiguous
+    # dynamic_slices (TPU-cheap) instead of per-element gathers
+    zpad = jnp.zeros(batch + (W,), dtype=dtype)
+    ac_flip = jnp.concatenate([zpad, autoc[..., ::-1], zpad], axis=-1)
+
+    def dslice(arr, start):
+        idx = (jnp.zeros((), jnp.int32),) * nb + (start.astype(jnp.int32),)
+        return jax.lax.dynamic_slice(arr, idx, batch + (W,))
 
     def step(carry, i):
         tmp, err = carry
         # r = (-autoc[i+1] - sum_{j<i} tmp[j]*autoc[i-j]) / err
-        ac_rev = jnp.take_along_axis(
-            autoc, jnp.broadcast_to(jnp.clip(i - taps, 0, max_order),
-                                    batch + (W,)), axis=-1)
+        # autoc[i-j] for j=0..W-1 == slice of flipped autoc at
+        # (max_order - i) ... + W (zero padding covers j > i)
+        ac_rev = dslice(ac_flip, W + max_order - i)
         prods = jnp.where(taps < i, tmp * ac_rev, 0.0)
-        r = -jnp.take_along_axis(
-            autoc, jnp.broadcast_to(i + 1, batch + (1,)), axis=-1)[..., 0]
+        r = -jax.lax.dynamic_index_in_dim(
+            autoc, i + 1, axis=-1, keepdims=False)
         r = r - prods.sum(axis=-1)
         safe_err = jnp.where(err == 0.0, tiny, err)  # NaN guard only
         r = r / safe_err
         err = err * (1.0 - r * r)
         # symmetric update tmp[:i] += r * tmp[:i][::-1], then tmp[i] = r
-        rev = jnp.take_along_axis(
-            tmp, jnp.broadcast_to(jnp.clip(i - 1 - taps, 0, W - 1),
-                                  batch + (W,)), axis=-1)
+        tmp_flip = jnp.concatenate([zpad, tmp[..., ::-1], zpad], axis=-1)
+        rev = dslice(tmp_flip, 2 * W - i)  # rev[j] = tmp[i-1-j]
         tmp = jnp.where(taps < i, tmp + r[..., None] * rev, tmp)
         tmp = jnp.where(taps == i, r[..., None], tmp)
         row = jnp.where(taps <= i, -tmp, 0.0)

@@ -65,25 +65,40 @@ def residual_lpc(smp, coefs, shift, order: int):
     return jnp.concatenate([smp[..., :order], res], axis=-1)
 
 
-def residual_lpc_dynamic(smp, coefs, shift, order, max_order: int):
+def residual_lpc_dynamic(smp, coefs, shift, order, max_order: int,
+                         narrow: bool = False):
     """LPC residual where ``order`` varies per batch element (int32 [...]).
 
     Used for the final re-encode after order selection: taps j >= order
     contribute zero, and positions i < order keep the raw sample
     (warm-up). One O(max_order * B) pass regardless of the per-frame
     order — the batched analogue of re-running encode_residual_lpc for
-    the winner (optimize.c:273)."""
+    the winner (optimize.c:273).
+
+    ``narrow``: samples are known to fit 17 bits signed (bps <= 16 after
+    mid/side), so each (sample x 15-bit coef) product fits int32 exactly
+    and only the tap *accumulation* needs int64 — avoiding the costly
+    emulated 64-bit multiplies on TPU. Bit-exact either way."""
     n = smp.shape[-1]
-    s = smp.astype(jnp.int64)
-    order64 = order[..., None].astype(jnp.int64)
-    pred = jnp.zeros_like(s)
-    for j in range(max_order):
-        # lag j+1 with zero padding at the head; tap active when j < order
-        lag = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :n]
-        tap = jnp.where(j < order64, coefs[..., j, None].astype(jnp.int64),
-                        0)
-        pred = pred + tap * lag
+    order_b = order[..., None]
+    if narrow:
+        pred = jnp.zeros(smp.shape, dtype=jnp.int64)
+        for j in range(max_order):
+            lag = jnp.pad(smp,
+                          [(0, 0)] * (smp.ndim - 1) + [(j + 1, 0)])[..., :n]
+            tap = jnp.where(j < order_b, coefs[..., j, None], 0)
+            pred = pred + (tap * lag).astype(jnp.int64)  # exact i32 product
+        s = smp.astype(jnp.int64)
+    else:
+        s = smp.astype(jnp.int64)
+        order64 = order_b.astype(jnp.int64)
+        pred = jnp.zeros_like(s)
+        for j in range(max_order):
+            lag = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :n]
+            tap = jnp.where(j < order64,
+                            coefs[..., j, None].astype(jnp.int64), 0)
+            pred = pred + tap * lag
     pred = pred >> shift[..., None].astype(jnp.int64)
     idx = jnp.arange(n)
     res = wrap_int32(s - pred)
-    return jnp.where(idx < order64, smp, res)
+    return jnp.where(idx < order_b, smp, res)

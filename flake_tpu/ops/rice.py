@@ -42,6 +42,47 @@ def zigzag_u64(res):
     return ((2 * d) ^ (d >> 63)).astype(jnp.uint64)
 
 
+def zigzag_u32(res):
+    """Zigzag with the reference's exact uint32 semantics: rice.c:120-123
+    stores (2*data[i]) ^ (data[i]>>31) into a uint32_t, wrapping for
+    |res| >= 2^30 — reproduced here bit-for-bit."""
+    d = res.astype(jnp.int32)
+    return ((2 * d) ^ (d >> 31)).astype(jnp.uint32)
+
+
+def _split_partition_sums(z32, parts: int, psize: int):
+    """uint64-exact partition sums of uint32 zigzag data using only
+    int32 element-wise work: split into 16-bit limbs, hierarchical int32
+    partial sums, and assemble uint64 only at partition granularity.
+
+    TPU motivation: 64-bit integer ops are software-emulated and
+    dominate the Rice search cost; limb arithmetic keeps the O(B) work
+    in native int32. Returns uint64 [..., parts]."""
+    lo = jnp.bitwise_and(z32, jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = (z32 >> jnp.uint32(16)).astype(jnp.int32)
+
+    def psum(x):
+        shape = x.shape[:-1] + (parts, psize)
+        x = x.reshape(shape)
+        if psize > 256:
+            # inner int32 chunks stay < 2^24; outer int64 accumulation
+            # touches only psize/256-sized data
+            chunk = 256
+            sub = psize // chunk
+            rem = psize - sub * chunk
+            main = x[..., :sub * chunk].reshape(
+                x.shape[:-1] + (sub, chunk)).sum(axis=-1,
+                                                 dtype=jnp.int32)
+            tot = main.sum(axis=-1, dtype=jnp.int64)
+            if rem:
+                tot = tot + x[..., sub * chunk:].sum(
+                    axis=-1, dtype=jnp.int32).astype(jnp.int64)
+            return tot
+        return x.sum(axis=-1, dtype=jnp.int32).astype(jnp.int64)
+
+    return (psum(lo) + (psum(hi) << 16)).astype(jnp.uint64)
+
+
 def _rice_count(sums, cnt, ks):
     """rice_encode_count (rice.h:48) in uint64 with uint32 truncation.
 
@@ -66,20 +107,49 @@ def find_optimal_k(sums, cnt):
     return k_opt, best
 
 
-def partition_pyramid(udata, n: int, order: int, pmax: int):
+def find_optimal_k_u32(sums, cnt):
+    """find_optimal_k computed entirely in native uint32 limb arithmetic
+    (64-bit ints are software-emulated on TPU).
+
+    Bit-exact with the uint64 formula: (sum - cnt/2) is formed mod 2^64
+    limb-wise (borrow propagation), the >>k keeps only the low 32 result
+    bits — exactly what the uint32 truncation of rice.h:48 retains.
+    ``sums`` uint64 [...], ``cnt`` int or uint64 [...]."""
+    s_lo = sums.astype(jnp.uint32)
+    s_hi = (sums >> jnp.uint64(32)).astype(jnp.uint32)
+    if isinstance(cnt, int):
+        cnt2 = jnp.uint32(cnt >> 1)
+        cnt32 = jnp.uint32(cnt)
+    else:
+        cnt2 = (cnt >> jnp.uint64(1)).astype(jnp.uint32)
+        cnt32 = cnt.astype(jnp.uint32)[..., None]
+    borrow = (s_lo < cnt2).astype(jnp.uint32)
+    t_lo = (s_lo - cnt2)[..., None]
+    t_hi = (s_hi - borrow)[..., None]
+
+    ks = jnp.arange(MAX_K + 1, dtype=jnp.uint32)
+    # (t >> k) low 32 bits: k == 0 must not shift t_hi by 32 (undefined)
+    hi_part = jnp.where(ks == 0, jnp.uint32(0),
+                        t_hi << (jnp.uint32(32) - ks))
+    shifted = jnp.where(ks == 0, t_lo, (t_lo >> ks) | hi_part)
+    nbits = cnt32 * (ks + 1) + shifted                    # u32 wrap == C
+    k_opt = jnp.argmin(nbits, axis=-1).astype(jnp.int32)
+    best = jnp.min(nbits, axis=-1).astype(jnp.uint64)
+    return k_opt, best
+
+
+def partition_pyramid(z32, n: int, order: int, pmax: int):
     """Partition sums for every level 0..pmax (rice.c:76-103).
 
-    Warm-up samples (first ``order``) are excluded from partition 0 by
-    zeroing them before the reshape-sum. Returns a list ``sums[p]`` of
-    uint64 [..., 2**p] for p in 0..pmax."""
+    ``z32`` is uint32 zigzag data. Warm-up samples (first ``order``) are
+    excluded from partition 0 by zeroing them before the reshape-sum.
+    Returns a list ``sums[p]`` of uint64 [..., 2**p] for p in 0..pmax."""
     psize = n >> pmax
     if order > 0:
         mask = jnp.arange(n) >= order
-        udata = jnp.where(mask, udata, jnp.uint64(0))
-    top = udata.reshape(udata.shape[:-1] + (1 << pmax, psize)) \
-        .sum(axis=-1, dtype=jnp.uint64)
+        z32 = jnp.where(mask, z32, jnp.uint32(0))
     sums = [None] * (pmax + 1)
-    sums[pmax] = top
+    sums[pmax] = _split_partition_sums(z32, 1 << pmax, psize)
     for p in range(pmax - 1, -1, -1):
         prev = sums[p + 1]
         sums[p] = prev[..., 0::2] + prev[..., 1::2]
@@ -101,8 +171,7 @@ def calc_rice_params(res, n: int, order: int, pmin: int, pmax: int):
     pmin = limit_max_partition_order(pmin, n, order)
     pmax = limit_max_partition_order(pmax, n, order)
 
-    udata = zigzag_u64(res)
-    sums = partition_pyramid(udata, n, order, pmax)
+    sums = partition_pyramid(zigzag_u32(res), n, order, pmax)
 
     batch = res.shape[:-1]
     best_bits = None
@@ -116,7 +185,7 @@ def calc_rice_params(res, n: int, order: int, pmin: int, pmax: int):
         cnt0 = cnt_full - order
         cnts = jnp.full((parts,), cnt_full, dtype=jnp.uint64) \
             .at[0].set(cnt0)
-        k, kb = find_optimal_k(sums[p], cnts)      # [..., parts]
+        k, kb = find_optimal_k_u32(sums[p], cnts)  # [..., parts]
         bits = u32(kb.astype(jnp.uint64).sum(axis=-1)
                    + jnp.uint64(4 * parts))
         method = (k > P.MAX_RICE_PARAM_4BIT).any(axis=-1) \
@@ -166,42 +235,37 @@ def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
     pmin_eff = jnp.minimum(jnp.minimum(pmin, ub),
                            jnp.where(order > 0, log2_no, pmin))
 
-    udata = zigzag_u64(res)
+    z32 = zigzag_u32(res)
     idx = jnp.arange(n)
-    udata = jnp.where(idx >= order64, udata, jnp.uint64(0))
+    z32 = jnp.where(idx >= order64, z32, jnp.uint32(0))
 
     psize = n >> pmax_static
     parts_max = 1 << pmax_static
 
-    def pyramid(base):
-        top = base.reshape(base.shape[:-1] + (parts_max, psize)) \
-            .sum(axis=-1, dtype=jnp.uint64)
-        levels = [None] * (pmax_static + 1)
-        levels[pmax_static] = top
+    def fold(levels):
         for p in range(pmax_static - 1, -1, -1):
             prev = levels[p + 1]
             levels[p] = prev[..., 0::2] + prev[..., 1::2]
         return levels
 
-    sums = pyramid(udata)
+    sums = [None] * (pmax_static + 1)
+    sums[pmax_static] = _split_partition_sums(z32, parts_max, psize)
+    sums = fold(sums)
+
     ssums = None
     if want_exact:
         # shifted-sum pyramids for exact emitted-bit counts: S[k][p]
         # holds sum over partition p of (zigzag >> k) — the true Rice
         # code length minus the (1+k) per-sample overhead
         def shift_sum(_, k):
-            t = (udata >> k).reshape(
-                udata.shape[:-1] + (parts_max, psize)) \
-                .sum(axis=-1, dtype=jnp.uint64)
-            return None, t
+            return None, _split_partition_sums(z32 >> k, parts_max,
+                                               psize)
 
         _, stop = jax.lax.scan(
-            shift_sum, None, jnp.arange(MAX_K + 1, dtype=jnp.uint64))
+            shift_sum, None, jnp.arange(MAX_K + 1, dtype=jnp.uint32))
         ssums = [None] * (pmax_static + 1)
         ssums[pmax_static] = jnp.moveaxis(stop, 0, -2)  # [..., 31, parts]
-        for p in range(pmax_static - 1, -1, -1):
-            prev = ssums[p + 1]
-            ssums[p] = prev[..., 0::2] + prev[..., 1::2]
+        ssums = fold(ssums)
 
     batch = res.shape[:-1]
     best_bits = jnp.full(batch, 0xFFFFFFFF, dtype=jnp.uint64)
@@ -217,7 +281,7 @@ def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
         cnts = jnp.broadcast_to(cnt_full, batch + (parts,))
         cnts = cnts.at[..., 0].set(cnt0) if parts > 1 \
             else cnt0[..., None]
-        k, kb = find_optimal_k(sums[p], cnts)
+        k, kb = find_optimal_k_u32(sums[p], cnts)
         bits = u32(kb.astype(jnp.uint64).sum(axis=-1)
                    + jnp.uint64(4 * parts))
         method = (k > P.MAX_RICE_PARAM_4BIT).any(axis=-1) \

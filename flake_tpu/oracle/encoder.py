@@ -108,8 +108,11 @@ def calc_rice_params(pmin: int, pmax: int, data: np.ndarray, n: int,
     """Search partition orders pmin..pmax (rice.c:105-139).
 
     Returns (method, porder, params, bits)."""
-    d = data.astype(np.int64)
-    udata = ((2 * d) ^ (d >> 63)).astype(np.uint64)
+    # the reference zigzags into uint32_t (rice.c:120-123), wrapping for
+    # |res| >= 2^30 — keep those exact semantics
+    d32 = data.astype(np.int32)
+    udata = (((2 * d32) ^ (d32 >> 31)).astype(np.uint32)) \
+        .astype(np.uint64)
 
     sums = _calc_sums(pmin, pmax, udata, n, pred_order)
 

@@ -33,6 +33,28 @@ def test_find_optimal_k_matches_oracle():
                 int(sums[i]), n)
 
 
+def test_find_optimal_k_u32_limbs_match_u64():
+    """The native-uint32 limb k-scan must match the uint64 formula on
+    extremes: tiny sums (borrow/wrap), huge sums (>32-bit), exact
+    boundaries."""
+    sums = np.array([0, 1, 15, 16, 31, 2**31, 2**32 - 1, 2**32,
+                     2**38 + 12345, 2**45], dtype=np.uint64)
+    for n in (16, 64, 4096, 65535):
+        k64, b64 = rice.find_optimal_k(jnp.asarray(sums), n)
+        k32, b32 = rice.find_optimal_k_u32(jnp.asarray(sums), n)
+        np.testing.assert_array_equal(np.asarray(k64), np.asarray(k32))
+        np.testing.assert_array_equal(np.asarray(b64), np.asarray(b32))
+    # array counts
+    cnts = np.array([3, 64, 4096, 65535, 1, 7, 100, 2, 9, 31],
+                    dtype=np.uint64)
+    k64, b64 = rice.find_optimal_k(jnp.asarray(sums),
+                                   jnp.asarray(cnts))
+    k32, b32 = rice.find_optimal_k_u32(jnp.asarray(sums),
+                                       jnp.asarray(cnts))
+    np.testing.assert_array_equal(np.asarray(k64), np.asarray(k32))
+    np.testing.assert_array_equal(np.asarray(b64), np.asarray(b32))
+
+
 def test_rice_count_uint32_wrap_matches_c():
     # huge sums: uint64 wrap of (sum - n/2) >> k truncated to u32
     sums = np.array([0, 1, 5, 2**33, 2**45 + 12345], dtype=np.uint64)
