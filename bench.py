@@ -81,9 +81,8 @@ def main() -> int:
     cfg = FrameConfig.from_params(P.set_defaults(8), channels=2, bps=16,
                                   block_size=B)
 
-    # synthesize tonal+noise stereo audio on device (HBM-resident input)
-    key = jax.random.PRNGKey(0)
-
+    # synthesize tonal+noise stereo audio on device (HBM-resident input);
+    # several distinct buffers so no runtime layer can reuse results
     @jax.jit
     def make_audio(key):
         t = jnp.arange(F * B, dtype=jnp.float32)
@@ -94,12 +93,12 @@ def main() -> int:
         r = jnp.clip(0.8 * sig, -32768, 32767).astype(jnp.int32)
         return jnp.stack([l, r], axis=-1).reshape(F, B, 2)
 
-    samples = jax.block_until_ready(make_audio(key))
+    inputs = [make_audio(jax.random.PRNGKey(i)) for i in range(4)]
     hdr_bits = jnp.full((F,), 48, jnp.int32)
 
     # warm-up / compile (force with a real readback: block_until_ready
     # does not reliably block on tunneled platforms)
-    out = analyze_frames_jit(samples, cfg, hdr_bits)
+    out = analyze_frames_jit(inputs[0], cfg, hdr_bits)
     total_bytes = int(jnp.sum(out["frame_bytes"]))
 
     # steady-state: chain iterations on device, one readback syncs all
@@ -108,8 +107,8 @@ def main() -> int:
     for _ in range(3):
         t0 = time.perf_counter()
         acc = None
-        for _ in range(iters):
-            out = analyze_frames_jit(samples, cfg, hdr_bits)
+        for i in range(iters):
+            out = analyze_frames_jit(inputs[i % 4], cfg, hdr_bits)
             s = jnp.sum(out["frame_bytes"])
             acc = s if acc is None else acc + s
         int(acc)  # single device->host sync

@@ -17,6 +17,7 @@ header() -> encode chunks -> streaminfo() rewrite.
 from __future__ import annotations
 
 import hashlib
+import time
 
 import numpy as np
 
@@ -40,10 +41,15 @@ class Encoder:
 
     def __init__(self, cfg: P.StreamConfig, *, batch_frames: int = 512,
                  lpc_dtype: str = "float64",
-                 vendor_string: str | None = None):
+                 vendor_string: str | None = None,
+                 vorbis_entries: list[str] | None = None):
         import flake_tpu
         flake_tpu._enable_compile_cache_if_tpu()
         self.subset = P.validate_params(cfg)
+        self.vorbis_entries = list(vorbis_entries or [])
+        # encode-side counters (observability; SURVEY §5)
+        self.stats = {"frames": 0, "batches": 0, "device_seconds": 0.0,
+                      "pack_seconds": 0.0, "bytes_out": 0}
         self.cfg = cfg
         self.params = cfg.params
         self.channels = cfg.channels
@@ -79,6 +85,9 @@ class Encoder:
 
     def header(self) -> bytes:
         vc = metadata.VorbisComment(vendor_string=self.vendor_string)
+        for entry in self.vorbis_entries:
+            if not metadata.add_vorbiscomment_entry(vc, entry):
+                raise ValueError(f"invalid vorbis comment {entry!r}")
         return metadata.write_headers(self.streaminfo(),
                                       self.params.padding_size, vc)
 
@@ -216,11 +225,13 @@ class Encoder:
                 cnums = np.concatenate(
                     [cnums, np.zeros(bsz - n, cnums.dtype)])
             hdr_bits = self._hdr_bits(cnums, bs_code)
+            t0 = time.perf_counter()
             analysis = analyze_frames_jit(jnp.asarray(chunk), cfg,
                                           jnp.asarray(hdr_bits))
             host = {k: np.asarray(v) for k, v in analysis.items()
                     if v is not None}
             host = {k: v[:n] for k, v in host.items()}
+            t1 = time.perf_counter()
             blob, lengths = pack_frames(
                 host, cnums[:n].astype(np.uint32),
                 block_size=block_size, channels=self.channels,
@@ -239,6 +250,11 @@ class Encoder:
                                       int(lengths.max(initial=0)))
             out += blob
             all_lengths.append(lengths)
+            self.stats["frames"] += n
+            self.stats["batches"] += 1
+            self.stats["device_seconds"] += t1 - t0
+            self.stats["pack_seconds"] += time.perf_counter() - t1
+            self.stats["bytes_out"] += len(blob)
         lengths = np.concatenate(all_lengths) if all_lengths \
             else np.zeros(0, np.int64)
         return bytes(out), lengths

@@ -85,6 +85,7 @@ class PcmReader:
         self.fp = fp
         self.info = info
         self._remaining = info.data_size
+        self._consumed = 0  # sample frames delivered so far
 
     def read_samples(self, n: int) -> np.ndarray:
         """Read up to ``n`` interleaved sample frames; returns int32
@@ -99,7 +100,9 @@ class PcmReader:
         usable = len(raw) - (len(raw) % info.block_align)
         if usable == 0:
             return np.zeros((0, info.channels), dtype=np.int32)
-        return decode_pcm_block(raw[:usable], info)
+        out = decode_pcm_block(raw[:usable], info)
+        self._consumed += out.shape[0]
+        return out
 
     def read_all(self) -> np.ndarray:
         chunks = []
@@ -111,6 +114,46 @@ class PcmReader:
         if not chunks:
             return np.zeros((0, self.info.channels), dtype=np.int32)
         return np.concatenate(chunks, axis=0)
+
+    def position(self) -> int:
+        """Current position in sample frames (pcm_io.c position API)."""
+        return self._consumed
+
+    def seek_samples(self, offset: int, whence: int = 0) -> int:
+        """Seek by sample frames (pcm_io.c:279-324). whence: 0=set,
+        1=cur, 2=end. Falls back to a slow forward read for pipes.
+        Returns the new position."""
+        info = self.info
+        if whence == 1:
+            target = self._consumed + offset
+        elif whence == 2:
+            if info.samples == 0:
+                raise ValueError("cannot seek from end: unknown length")
+            target = info.samples + offset
+        else:
+            target = offset
+        target = max(target, 0)
+        if info.samples:
+            target = min(target, info.samples)
+
+        byte_pos = info.data_offset + target * info.block_align
+        try:
+            self.fp.seek(byte_pos)
+            if self._remaining is not None:
+                self._remaining = (info.data_size
+                                   - target * info.block_align)
+            self._consumed = target
+            return target
+        except (OSError, AttributeError):
+            pass
+        # non-seekable stream: slow forward-only seek (pcm_io.c:41-85)
+        if target < self._consumed:
+            raise ValueError("cannot seek backwards in a pipe")
+        while self._consumed < target:
+            n = min(target - self._consumed, 1 << 16)
+            if self.read_samples(n).shape[0] == 0:
+                break
+        return self._consumed
 
 
 def decode_pcm_block(raw: bytes, info: PcmInfo) -> np.ndarray:

@@ -17,6 +17,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -217,24 +219,32 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         need_bits = method not in (P.OrderMethod.MAX, P.OrderMethod.EST)
         bits_all = None
         if need_bits:
-            # candidate-order sweep as a scan: fixed-shape body (masked
-            # taps + dynamic-order rice search) evaluated per order —
-            # the batched form of the optimize.c:224-238 search loop
-            def cand(_, xs):
-                coef_row, shift_row, o = xs
-                o_arr = jnp.full((F, C), o, jnp.int32)
+            # candidate-order sweep, vectorised over a chunk axis: each
+            # scan step evaluates CHUNK candidate orders at once as an
+            # extra tensor dimension (residual + dynamic-order rice
+            # search broadcast over it) — the batched form of the
+            # optimize.c:224-238 search loop with VPU-friendly widths
+            CHUNK = min(6, max_o)
+            chans_b = chans[..., None, :]          # [F, C, 1, B]
+            obits_b = obits[..., None]             # [F, C, 1]
+            pieces = []
+            for lo in range(0, max_o, CHUNK):
+                hi = min(lo + CHUNK, max_o)
+                ords = np.arange(lo + 1, hi + 1)
+                coef_c = qcoefs[..., jnp.asarray(ords) - 1, :]
+                shift_c = jnp.take_along_axis(
+                    shifts, jnp.broadcast_to(jnp.asarray(ords) - 1,
+                                             (F, C, hi - lo)), axis=-1)
+                o_arr = jnp.broadcast_to(
+                    jnp.asarray(ords, dtype=jnp.int32), (F, C, hi - lo))
+                # the chunk only ever uses taps < hi
                 r = predict.residual_lpc_dynamic(
-                    chans, coef_row, shift_row, o_arr, max_o,
+                    chans_b, coef_c, shift_c, o_arr, hi,
                     narrow=cfg.bps <= 16)
-                bits = subframe_bits_dynamic(
-                    r, n, o_arr, obits, pmin, pmax, cfg.precision, True)
-                return None, bits
-
-            xs = (jnp.moveaxis(qcoefs, -2, 0),   # [max_o, F, C, 32]
-                  jnp.moveaxis(shifts, -1, 0),   # [max_o, F, C]
-                  jnp.arange(1, max_o + 1, dtype=jnp.int32))
-            _, stacked = jax.lax.scan(cand, None, xs)
-            bits_all = jnp.moveaxis(stacked, 0, -1)  # [F, C, max_o]
+                pieces.append(subframe_bits_dynamic(
+                    r, n, o_arr, obits_b, pmin, pmax, cfg.precision,
+                    True))
+            bits_all = jnp.concatenate(pieces, axis=-1)  # [F, C, max_o]
 
         if method == P.OrderMethod.MAX:
             order = jnp.full((F, C), max_o, jnp.int32)

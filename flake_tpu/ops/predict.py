@@ -81,23 +81,26 @@ def residual_lpc_dynamic(smp, coefs, shift, order, max_order: int,
     emulated 64-bit multiplies on TPU. Bit-exact either way."""
     n = smp.shape[-1]
     order_b = order[..., None]
+    # smp may carry fewer broadcast dims than order/coefs (e.g. a
+    # candidate-chunk axis of size 1) — accumulate via broadcasting
+    pred = None
     if narrow:
-        pred = jnp.zeros(smp.shape, dtype=jnp.int64)
         for j in range(max_order):
             lag = jnp.pad(smp,
                           [(0, 0)] * (smp.ndim - 1) + [(j + 1, 0)])[..., :n]
             tap = jnp.where(j < order_b, coefs[..., j, None], 0)
-            pred = pred + (tap * lag).astype(jnp.int64)  # exact i32 product
+            term = (tap * lag).astype(jnp.int64)  # exact i32 product
+            pred = term if pred is None else pred + term
         s = smp.astype(jnp.int64)
     else:
         s = smp.astype(jnp.int64)
         order64 = order_b.astype(jnp.int64)
-        pred = jnp.zeros_like(s)
         for j in range(max_order):
             lag = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(j + 1, 0)])[..., :n]
             tap = jnp.where(j < order64,
                             coefs[..., j, None].astype(jnp.int64), 0)
-            pred = pred + tap * lag
+            term = tap * lag
+            pred = term if pred is None else pred + term
     pred = pred >> shift[..., None].astype(jnp.int64)
     idx = jnp.arange(n)
     res = wrap_int32(s - pred)

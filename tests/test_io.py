@@ -90,6 +90,58 @@ def test_wave_extensible(tmp_path):
     np.testing.assert_array_equal(r.read_all(), pcm)
 
 
+def test_seek_samples(tmp_path):
+    pcm = make_test_signal(1000, 2, 16)
+    p = tmp_path / "seek.wav"
+    write_wave(p, pcm, 44100, 16)
+    with open(p, "rb") as f:
+        r = open_pcm(f)
+        r.seek_samples(300)
+        np.testing.assert_array_equal(r.read_samples(100), pcm[300:400])
+        assert r.position() == 400
+        r.seek_samples(-50, whence=1)
+        np.testing.assert_array_equal(r.read_samples(10), pcm[350:360])
+        r.seek_samples(-100, whence=2)
+        np.testing.assert_array_equal(r.read_samples(200), pcm[900:])
+
+
+def test_seek_in_pipe_forward_only():
+    pcm = make_test_signal(500, 2, 16)
+
+    class Pipe:
+        def __init__(self, data):
+            self.data, self.pos = data, 0
+
+        def read(self, n):
+            out = self.data[self.pos:self.pos + n]
+            self.pos += len(out)
+            return out
+
+    raw = pcm.reshape(-1).astype("<i2").tobytes()
+    r = open_pcm(Pipe(raw))
+    r.seek_samples(100)
+    np.testing.assert_array_equal(r.read_samples(50), pcm[100:150])
+    with np.testing.assert_raises(ValueError):
+        r.seek_samples(0)
+
+
+def test_vorbis_entries_in_header():
+    from flake_tpu import params as P
+    from flake_tpu.decoder import decode_stream
+    from flake_tpu.encoder import Encoder
+
+    pcm = make_test_signal(1000, 2, 16)
+    cfg = P.StreamConfig(channels=2, sample_rate=44100,
+                         bits_per_sample=16, params=P.set_defaults(2))
+    cfg.params.block_size = 512
+    enc = Encoder(cfg, vorbis_entries=["TITLE=test song",
+                                       "ARTIST=flake-tpu"])
+    blob = enc.encode_stream(pcm)
+    dec = decode_stream(blob)
+    assert dec.vorbis_entries == ["TITLE=test song", "ARTIST=flake-tpu"]
+    assert enc.stats["frames"] > 0 and enc.stats["bytes_out"] > 0
+
+
 def test_convert_matrix():
     s16 = np.array([-32768, -1, 0, 1, 32767], dtype=np.int32)
     # widening does not rescale (convert.c:142-167)
