@@ -14,7 +14,6 @@ Shapes: ``res`` is [..., B] with arbitrary leading batch dims.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from flake_tpu import params as P
@@ -252,27 +251,14 @@ def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
     sums[pmax_static] = _split_partition_sums(z32, parts_max, psize)
     sums = fold(sums)
 
-    ssums = None
-    if want_exact:
-        # shifted-sum pyramids for exact emitted-bit counts: S[k][p]
-        # holds sum over partition p of (zigzag >> k) — the true Rice
-        # code length minus the (1+k) per-sample overhead
-        def shift_sum(_, k):
-            return None, _split_partition_sums(z32 >> k, parts_max,
-                                               psize)
-
-        _, stop = jax.lax.scan(
-            shift_sum, None, jnp.arange(MAX_K + 1, dtype=jnp.uint32))
-        ssums = [None] * (pmax_static + 1)
-        ssums[pmax_static] = jnp.moveaxis(stop, 0, -2)  # [..., 31, parts]
-        ssums = fold(ssums)
-
     batch = res.shape[:-1]
     best_bits = jnp.full(batch, 0xFFFFFFFF, dtype=jnp.uint64)
-    best_exact = jnp.zeros(batch, dtype=jnp.uint64)
-    best_porder = jnp.zeros(batch, dtype=jnp.int32)
-    best_method = jnp.zeros(batch, dtype=jnp.int32)
-    best_params = jnp.zeros(batch + (parts_max,), dtype=jnp.int32)
+    best_porder = jnp.zeros(batch, jnp.int32)
+    best_method = jnp.zeros(batch, jnp.int32)
+    best_params = jnp.zeros(batch + (parts_max,), jnp.int32)
+    # chosen k broadcast onto the static pmax partition grid — feeds the
+    # single exact-bit pass below without any per-sample gather
+    best_kgrid = jnp.zeros(batch + (parts_max,), jnp.int32)
 
     for p in range(0, pmax_static + 1):
         parts = 1 << p
@@ -289,23 +275,38 @@ def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
         params = jnp.zeros(batch + (parts_max,), dtype=jnp.int32) \
             .at[..., :parts].set(k) if parts < parts_max else k
 
-        # exact bits: sum_p [ S_p(k_p) + cnt_p*(1+k_p) + param_bits ]
-        exact = jnp.uint64(0)
-        if want_exact:
-            s_sel = jnp.take_along_axis(
-                ssums[p], k[..., None, :].astype(jnp.int64),
-                axis=-2)[..., 0, :]
-            param_bits = (jnp.uint64(4) + method.astype(jnp.uint64))
-            exact = (s_sel + cnts * (1 + k.astype(jnp.uint64))) \
-                .sum(axis=-1) + param_bits * parts
-
         valid = (p >= pmin_eff) & (p <= pmax_eff)
         take = valid & (bits <= best_bits)
         best_bits = jnp.where(take, bits, best_bits)
-        best_exact = jnp.where(take, exact, best_exact)
         best_porder = jnp.where(take, p, best_porder)
         best_method = jnp.where(take, method, best_method)
         best_params = jnp.where(take[..., None], params, best_params)
+        if want_exact:
+            sub = parts_max // parts  # pmax-partitions per p-partition
+            kgrid = jnp.broadcast_to(
+                k[..., :, None], batch + (parts, sub)) \
+                .reshape(batch + (parts_max,))
+            best_kgrid = jnp.where(take[..., None], kgrid, best_kgrid)
+
+    # exact emitted bits for the winning (porder, params): one masked
+    # O(B) pass — sum over valid samples of (zigzag>>k) + (1+k), plus
+    # the per-partition parameter fields. The true Rice code length is
+    # q+1+k bits per sample (bitio.h:120-141); the selection cost model
+    # above only approximates it (rice.h:48).
+    best_exact = jnp.zeros(batch, dtype=jnp.uint64)
+    if want_exact:
+        k_samp = jnp.broadcast_to(
+            best_kgrid[..., :, None], batch + (parts_max, psize)) \
+            .reshape(batch + (n,))
+        shifted = z32 >> k_samp.astype(jnp.uint32)  # warm-up already 0
+        quotient = _split_partition_sums(shifted, 1, n)[..., 0]
+        # (1+k) per valid sample: values <= 31, masked int32 sum is exact
+        ovh = jnp.where(idx >= order64, 1 + k_samp, 0) \
+            .sum(axis=-1, dtype=jnp.int32).astype(jnp.uint64)  # <= 31*B
+        parts_dyn = (jnp.int64(1) << best_porder.astype(jnp.int64)) \
+            .astype(jnp.uint64)
+        param_bits = jnp.uint64(4) + best_method.astype(jnp.uint64)
+        best_exact = quotient + ovh + param_bits * parts_dyn
 
     return {
         "bits": best_bits,
