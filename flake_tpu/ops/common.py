@@ -33,6 +33,27 @@ def wrap_int32(x):
     return x.astype(jnp.int64).astype(jnp.int32)
 
 
+def chunked_sum_i64(x, bound_bits: int):
+    """Exact sum over the last axis of int32 values whose magnitude is
+    < 2**bound_bits, using native int32 partial sums and widening to
+    (software-emulated) int64 only at chunk granularity.
+
+    TPU motivation: 64-bit adds are emulated multi-op sequences; keeping
+    the O(B) inner work in int32 is the same limb strategy the Rice
+    pyramid uses (_split_partition_sums)."""
+    n = x.shape[-1]
+    chunk = 1 << max(0, 30 - bound_bits)  # chunk*|x| < 2^30, no overflow
+    if chunk <= 1 or n <= chunk:
+        return x.sum(axis=-1, dtype=jnp.int64)
+    sub = n // chunk
+    main = x[..., :sub * chunk].reshape(x.shape[:-1] + (sub, chunk)) \
+        .sum(axis=-1, dtype=jnp.int32).sum(axis=-1, dtype=jnp.int64)
+    if n - sub * chunk:
+        main = main + x[..., sub * chunk:].sum(axis=-1, dtype=jnp.int32) \
+            .astype(jnp.int64)
+    return main
+
+
 def ctz32(x):
     """Count trailing zeros of a uint32 (0 for x == 0)."""
     x = x.astype(jnp.uint32)

@@ -148,9 +148,9 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
 
     # -- stereo decorrelation (encode.c:648-694) -------------------------
     if C == 2 and n > 32 and cfg.stereo_method == P.StereoMethod.ESTIMATE:
-        mode = stereo.decorr_mode(chans[:, 0], chans[:, 1], n)
+        mode = stereo.decorr_mode(chans[:, 0], chans[:, 1], n, cfg.bps)
         ch0, ch1, extra = stereo.apply_decorr(chans[:, 0], chans[:, 1],
-                                              mode)
+                                              mode, cfg.bps)
         chans = jnp.stack([ch0, ch1], axis=1)
         obits = obits + extra
     elif C == 2:

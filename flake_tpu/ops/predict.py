@@ -85,12 +85,21 @@ def residual_lpc_dynamic(smp, coefs, shift, order, max_order: int,
     # candidate-chunk axis of size 1) — accumulate via broadcasting
     pred = None
     if narrow:
+        # coef-limb accumulation: c = (c>>8)*256 + (c&255) splits each
+        # 15-bit coef so both partial dot products stay within int32
+        # (|lag| <= 2^16, 32 taps: lo <= 2^29, hi <= 2^27) — the whole
+        # O(order*B) loop runs in native int32; the emulated-int64 ops
+        # reduce to one shift-add + shift + subtract per output sample
+        acc_lo = acc_hi = None
         for j in range(max_order):
             lag = jnp.pad(smp,
                           [(0, 0)] * (smp.ndim - 1) + [(j + 1, 0)])[..., :n]
             tap = jnp.where(j < order_b, coefs[..., j, None], 0)
-            term = (tap * lag).astype(jnp.int64)  # exact i32 product
-            pred = term if pred is None else pred + term
+            t_lo = (tap & 255) * lag
+            t_hi = (tap >> 8) * lag
+            acc_lo = t_lo if acc_lo is None else acc_lo + t_lo
+            acc_hi = t_hi if acc_hi is None else acc_hi + t_hi
+        pred = (acc_hi.astype(jnp.int64) << 8) + acc_lo
         s = smp.astype(jnp.int64)
     else:
         s = smp.astype(jnp.int64)
