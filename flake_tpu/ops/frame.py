@@ -24,11 +24,13 @@ import jax.numpy as jnp
 
 from flake_tpu import params as P
 from flake_tpu.ops import lpc as lpc_ops
-from flake_tpu.ops import predict, stereo, wasted
+from flake_tpu.ops import pallas_sweep, predict, stereo, wasted
 from flake_tpu.ops.rice import (
     calc_rice_params_dynamic,
+    limit_max_partition_order,
     subframe_bits,
     subframe_bits_dynamic,
+    subframe_bits_from_limbs,
 )
 
 U32MAX = 0xFFFFFFFF  # plain int: no device arrays at import time
@@ -57,11 +59,18 @@ class FrameConfig:
     max_partition_order: int
     precision: int = P.LPC_PRECISION
     lpc_dtype: str = "float64"
+    # candidate-order sweep backend: "auto" = the XLA formulation (it
+    # fuses the whole sweep into one HBM pass and measures faster than
+    # the hand-written kernel end-to-end; see ops/pallas_sweep.py),
+    # "force" = the Pallas kernel on TPU when the shape qualifies,
+    # "interp" = Pallas in interpreter mode (CPU parity tests)
+    use_pallas: str = "auto"
 
     @classmethod
     def from_params(cls, p: P.EncodeParams, channels: int, bps: int,
                     block_size: int | None = None,
-                    lpc_dtype: str = "float64"):
+                    lpc_dtype: str = "float64",
+                    use_pallas: str = "auto"):
         return cls(
             block_size=block_size or p.block_size,
             channels=channels, bps=bps,
@@ -73,6 +82,7 @@ class FrameConfig:
             min_partition_order=int(p.min_partition_order),
             max_partition_order=int(p.max_partition_order),
             lpc_dtype=lpc_dtype,
+            use_pallas=use_pallas,
         )
 
 
@@ -218,7 +228,30 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         method = cfg.order_method
         need_bits = method not in (P.OrderMethod.MAX, P.OrderMethod.EST)
         bits_all = None
-        if need_bits:
+        pmax_static = limit_max_partition_order(pmax, n, 1)
+        interp = cfg.use_pallas == "interp"
+        kernel_ok = (
+            cfg.use_pallas in ("force", "interp")
+            and pallas_sweep.supports(n, cfg.bps, pmax_static)
+            and (interp or jax.default_backend() == "tpu"))
+        if need_bits and kernel_ok:
+            # Pallas sweep: residual + zigzag + partition limb sums for
+            # every candidate order in one VMEM-resident kernel, then
+            # the shared partition-order scan on the tiny sums
+            N = F * C
+            lo, hi = pallas_sweep.sweep_partition_limbs(
+                chans.reshape(N, n), qcoefs.reshape(N, max_o, -1),
+                shifts.reshape(N, max_o), max_order=max_o,
+                pmax_static=pmax_static, interpret=interp)
+            G = lo.shape[-1]
+            o_arr = jnp.broadcast_to(
+                jnp.arange(1, max_o + 1, dtype=jnp.int32),
+                (F, C, max_o))
+            bits_all = subframe_bits_from_limbs(
+                lo.reshape(F, C, max_o, G), hi.reshape(F, C, max_o, G),
+                n, o_arr, obits[..., None], pmin, pmax, cfg.precision,
+                True)
+        elif need_bits:
             # candidate-order sweep, vectorised over a chunk axis: each
             # scan step evaluates CHUNK candidate orders at once as an
             # extra tensor dimension (residual + dynamic-order rice

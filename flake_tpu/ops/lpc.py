@@ -85,44 +85,43 @@ def levinson_all_orders(autoc):
 
     max_order = autoc.shape[-1] - 1
     batch = autoc.shape[:-1]
-    nb = len(batch)
     dtype = autoc.dtype
     W = P.MAX_LPC_ORDER
     taps = jnp.arange(W)
     tiny = jnp.finfo(dtype).tiny
-    # static flip once; per-step reversals become contiguous
-    # dynamic_slices (TPU-cheap) instead of per-element gathers
-    zpad = jnp.zeros(batch + (W,), dtype=dtype)
-    ac_flip = jnp.concatenate([zpad, autoc[..., ::-1], zpad], axis=-1)
 
-    def dslice(arr, start):
-        idx = (jnp.zeros((), jnp.int32),) * nb + (start.astype(jnp.int32),)
-        return jax.lax.dynamic_slice(arr, idx, batch + (W,))
+    def shift_in(vec, head):
+        """[head, vec[0], ..., vec[W-2]] — static one-step shift."""
+        return jnp.concatenate([head[..., None], vec[..., :-1]], axis=-1)
 
-    def step(carry, i):
-        tmp, err = carry
-        # r = (-autoc[i+1] - sum_{j<i} tmp[j]*autoc[i-j]) / err
-        # autoc[i-j] for j=0..W-1 == slice of flipped autoc at
-        # (max_order - i) ... + W (zero padding covers j > i)
-        ac_rev = dslice(ac_flip, W + max_order - i)
+    # The two reversed views the recursion needs — rev[j] = tmp[i-1-j]
+    # and ac_rev[j] = autoc[i-j] — are maintained *incrementally*: when
+    # i advances, each is the previous value shifted right by one with a
+    # new head (rev' = shift(rev + r*tmp, head=r); ac_rev' =
+    # shift(ac_rev, head=autoc[i+1])). No gathers/reverses per step, and
+    # float arithmetic identical to the textbook in-place update.
+    def step(carry, xs):
+        tmp, rev, ac_rev, err = carry
+        i, a_next = xs
         prods = jnp.where(taps < i, tmp * ac_rev, 0.0)
-        r = -jax.lax.dynamic_index_in_dim(
-            autoc, i + 1, axis=-1, keepdims=False)
-        r = r - prods.sum(axis=-1)
+        r = -a_next - prods.sum(axis=-1)
         safe_err = jnp.where(err == 0.0, tiny, err)  # NaN guard only
         r = r / safe_err
         err = err * (1.0 - r * r)
         # symmetric update tmp[:i] += r * tmp[:i][::-1], then tmp[i] = r
-        tmp_flip = jnp.concatenate([zpad, tmp[..., ::-1], zpad], axis=-1)
-        rev = dslice(tmp_flip, 2 * W - i)  # rev[j] = tmp[i-1-j]
-        tmp = jnp.where(taps < i, tmp + r[..., None] * rev, tmp)
-        tmp = jnp.where(taps == i, r[..., None], tmp)
-        row = jnp.where(taps <= i, -tmp, 0.0)
-        return (tmp, err), (row, r)
+        new_tmp = jnp.where(taps < i, tmp + r[..., None] * rev, tmp)
+        new_tmp = jnp.where(taps == i, r[..., None], new_tmp)
+        new_rev = shift_in(rev + r[..., None] * tmp, r)
+        new_ac_rev = shift_in(ac_rev, a_next)
+        row = jnp.where(taps <= i, -new_tmp, 0.0)
+        return (new_tmp, new_rev, new_ac_rev, err), (row, r)
 
-    init = (jnp.zeros(batch + (W,), dtype=dtype), autoc[..., 0])
-    _, (rows, refs) = jax.lax.scan(step, init,
-                                   jnp.arange(max_order))
+    zeros = jnp.zeros(batch + (W,), dtype=dtype)
+    init = (zeros, zeros,
+            shift_in(zeros, autoc[..., 0]), autoc[..., 0])
+    xs = (jnp.arange(max_order),
+          jnp.moveaxis(autoc[..., 1:], -1, 0))
+    _, (rows, refs) = jax.lax.scan(step, init, xs)
     # scan stacks on axis 0 -> move order axis into place
     perm = tuple(range(1, rows.ndim - 1)) + (0, rows.ndim - 1)
     rows = jnp.transpose(rows, perm)

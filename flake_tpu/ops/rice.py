@@ -210,22 +210,27 @@ def calc_rice_params(res, n: int, order: int, pmin: int, pmax: int):
     }
 
 
-def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
-                             want_exact: bool = True):
-    """Partition search where the predictor order varies per batch
-    element (int32 [...]) — used for the final pass after order
-    selection, batching what the reference does one subframe at a time.
+def _fold_pyramid(levels, pmax_static: int):
+    """Fill levels[p] for p < pmax_static by pairwise adds
+    (rice.c:96-102)."""
+    for p in range(pmax_static - 1, -1, -1):
+        prev = levels[p + 1]
+        levels[p] = prev[..., 0::2] + prev[..., 1::2]
+    return levels
 
-    Matches calc_rice_params_common's dynamic clamping of pmin/pmax by
-    log2(n/order) (rice.c:148-155,163-164) via per-element level masks.
-    With ``want_exact`` the per-k shifted-sum pyramids also produce the
-    *exact* emitted bit count (true sum of (v>>k)+1+k per sample), which
-    the selection cost model only approximates (rice.h:48).
-    """
-    pmax_static = limit_max_partition_order(pmax, n, 1)
-    order64 = order[..., None].astype(jnp.int64)
 
-    # per-element level bounds: log2i(n // order), exact integer log
+def _dynamic_porder_scan(sums, n: int, order, pmin: int, pmax: int,
+                         pmax_static: int, batch,
+                         want_kgrid: bool = False):
+    """The partition-order scan shared by the residual- and limb-sum
+    entry points: per-element pmin/pmax clamping by log2(n/order)
+    (rice.c:148-155,163-164), the k search per level, and the
+    tie-to-higher-porder selection (rice.c:131).
+
+    ``sums`` is the uint64 partition-sum pyramid (sums[p]: [..., 2^p]).
+    Returns (bits, porder, method, params[..., 2^pmax_static], kgrid) —
+    kgrid is the winning k broadcast onto the pmax grid (or zeros when
+    not requested)."""
     ub = jnp.int32(log2i(n ^ (n - 1)))
     n_over = (n // jnp.maximum(order, 1)).astype(jnp.int64)
     log2_no = _ilog2(n_over)
@@ -234,30 +239,11 @@ def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
     pmin_eff = jnp.minimum(jnp.minimum(pmin, ub),
                            jnp.where(order > 0, log2_no, pmin))
 
-    z32 = zigzag_u32(res)
-    idx = jnp.arange(n)
-    z32 = jnp.where(idx >= order64, z32, jnp.uint32(0))
-
-    psize = n >> pmax_static
     parts_max = 1 << pmax_static
-
-    def fold(levels):
-        for p in range(pmax_static - 1, -1, -1):
-            prev = levels[p + 1]
-            levels[p] = prev[..., 0::2] + prev[..., 1::2]
-        return levels
-
-    sums = [None] * (pmax_static + 1)
-    sums[pmax_static] = _split_partition_sums(z32, parts_max, psize)
-    sums = fold(sums)
-
-    batch = res.shape[:-1]
     best_bits = jnp.full(batch, 0xFFFFFFFF, dtype=jnp.uint64)
     best_porder = jnp.zeros(batch, jnp.int32)
     best_method = jnp.zeros(batch, jnp.int32)
     best_params = jnp.zeros(batch + (parts_max,), jnp.int32)
-    # chosen k broadcast onto the static pmax partition grid — feeds the
-    # single exact-bit pass below without any per-sample gather
     best_kgrid = jnp.zeros(batch + (parts_max,), jnp.int32)
 
     for p in range(0, pmax_static + 1):
@@ -281,12 +267,81 @@ def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
         best_porder = jnp.where(take, p, best_porder)
         best_method = jnp.where(take, method, best_method)
         best_params = jnp.where(take[..., None], params, best_params)
-        if want_exact:
+        if want_kgrid:
             sub = parts_max // parts  # pmax-partitions per p-partition
             kgrid = jnp.broadcast_to(
                 k[..., :, None], batch + (parts, sub)) \
                 .reshape(batch + (parts_max,))
             best_kgrid = jnp.where(take[..., None], kgrid, best_kgrid)
+
+    return best_bits, best_porder, best_method, best_params, best_kgrid
+
+
+def subframe_bits_from_limbs(lo, hi, n: int, order, obits, pmin: int,
+                             pmax: int, precision: int, is_lpc: bool):
+    """subframe_bits_dynamic computed from precomputed partition limb
+    sums (the Pallas sweep kernel's output) instead of residuals.
+
+    lo/hi int32 [..., G] hold 16-bit-limb zigzag sums at granularity
+    gs = n // G >= the pmax partition size; they are folded to the
+    pmax_static level and fed to the shared partition-order scan, so the
+    resulting bit counts are identical to the residual-based path."""
+    pmax_static = limit_max_partition_order(pmax, n, 1)
+    parts_max = 1 << pmax_static
+    G = lo.shape[-1]
+    if G != parts_max:  # kernel emitted finer granularity; fold groups
+        sub = G // parts_max
+        lo = lo.reshape(lo.shape[:-1] + (parts_max, sub)) \
+            .sum(axis=-1, dtype=jnp.int64)
+        hi = hi.reshape(hi.shape[:-1] + (parts_max, sub)) \
+            .sum(axis=-1, dtype=jnp.int64)
+    sums = [None] * (pmax_static + 1)
+    sums[pmax_static] = (lo.astype(jnp.uint64)
+                         + (hi.astype(jnp.uint64) << 16))
+    _fold_pyramid(sums, pmax_static)
+
+    batch = lo.shape[:-1]
+    bits, _, method, _, _ = _dynamic_porder_scan(
+        sums, n, order, pmin, pmax, pmax_static, batch)
+    o64 = order.astype(jnp.uint64)
+    overhead = o64 * obits.astype(jnp.uint64) + 2
+    if is_lpc:
+        overhead = overhead + (4 + 5 + o64 * precision)
+    return u32(bits.astype(jnp.uint64) + overhead
+               + method.astype(jnp.uint64) + 4)
+
+
+def calc_rice_params_dynamic(res, n: int, order, pmin: int, pmax: int,
+                             want_exact: bool = True):
+    """Partition search where the predictor order varies per batch
+    element (int32 [...]) — used for the final pass after order
+    selection, batching what the reference does one subframe at a time.
+
+    Matches calc_rice_params_common's dynamic clamping of pmin/pmax by
+    log2(n/order) (rice.c:148-155,163-164) via per-element level masks.
+    With ``want_exact`` the per-k shifted-sum pyramids also produce the
+    *exact* emitted bit count (true sum of (v>>k)+1+k per sample), which
+    the selection cost model only approximates (rice.h:48).
+    """
+    pmax_static = limit_max_partition_order(pmax, n, 1)
+    order64 = order[..., None].astype(jnp.int64)
+
+    z32 = zigzag_u32(res)
+    idx = jnp.arange(n)
+    z32 = jnp.where(idx >= order64, z32, jnp.uint32(0))
+
+    psize = n >> pmax_static
+    parts_max = 1 << pmax_static
+
+    sums = [None] * (pmax_static + 1)
+    sums[pmax_static] = _split_partition_sums(z32, parts_max, psize)
+    _fold_pyramid(sums, pmax_static)
+
+    batch = res.shape[:-1]
+    (best_bits, best_porder, best_method, best_params,
+     best_kgrid) = _dynamic_porder_scan(sums, n, order, pmin, pmax,
+                                        pmax_static, batch,
+                                        want_kgrid=want_exact)
 
     # exact emitted bits for the winning (porder, params): one masked
     # O(B) pass — sum over valid samples of (zigzag>>k) + (1+k), plus
