@@ -96,26 +96,34 @@ def main() -> int:
     inputs = [make_audio(jax.random.PRNGKey(i)) for i in range(4)]
     hdr_bits = jnp.full((F,), 48, jnp.int32)
 
-    # warm-up / compile (force with a real readback: block_until_ready
-    # does not reliably block on tunneled platforms)
-    out = analyze_frames_jit(inputs[0], cfg, hdr_bits)
-    total_bytes = int(jnp.sum(out["frame_bytes"]))
+    def measure(cfg):
+        # warm-up / compile (force with a real readback:
+        # block_until_ready does not reliably block on tunneled
+        # platforms); then chain iterations, one readback syncs all
+        out = analyze_frames_jit(inputs[0], cfg, hdr_bits)
+        total_bytes = int(jnp.sum(out["frame_bytes"]))
+        iters = 20
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = None
+            for i in range(iters):
+                out = analyze_frames_jit(inputs[i % 4], cfg, hdr_bits)
+                s = jnp.sum(out["frame_bytes"])
+                acc = s if acc is None else acc + s
+            int(acc)  # single device->host sync
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return iters * F * B / best, total_bytes
 
-    # steady-state: chain iterations on device, one readback syncs all
-    iters = 20
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(iters):
-            out = analyze_frames_jit(inputs[i % 4], cfg, hdr_bits)
-            s = jnp.sum(out["frame_bytes"])
-            acc = s if acc is None else acc + s
-        int(acc)  # single device->host sync
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    sps = iters * F * B / best
+    sps, total_bytes = measure(cfg)
     xrt = sps / 44100.0
+
+    # secondary figure: float32 LPC analysis (lossless either way; the
+    # default stays float64 for bit-parity with the reference's doubles)
+    import dataclasses
+    sps32, _ = measure(dataclasses.replace(cfg, lpc_dtype="float32"))
+    xrt32 = sps32 / 44100.0
 
     ref_xrt = ref_baseline_xrt()
     vs_baseline = (xrt / ref_xrt) if ref_xrt else xrt / 10000.0
@@ -127,6 +135,7 @@ def main() -> int:
         "unit": "x realtime",
         "vs_baseline": round(vs_baseline, 2),
         "samples_per_sec": round(sps),
+        "xrt_float32_lpc_mode": round(xrt32, 1),
         "ref_c_xrt_this_host": round(ref_xrt, 1) if ref_xrt else None,
         "compressed_ratio": round(
             total_bytes / (F * B * 4), 4),

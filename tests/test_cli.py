@@ -99,3 +99,38 @@ def test_multi_file(tmp_path):
     assert rc == 0
     for p in paths:
         assert p.with_suffix(".flac").exists()
+
+
+def test_cli_lpc_dtype_float32(tmp_path, test_signal):
+    """TPU extension flag: float32 analysis still yields a lossless,
+    verifiable stream."""
+    import pathlib
+    import numpy as np
+    from flake_tpu.cli import main
+    from flake_tpu.decoder import decode_stream
+    from flake_tpu.io.wav import write_wave
+
+    pcm = test_signal(8192, channels=2)
+    wav = tmp_path / "in.wav"
+    out = tmp_path / "out.flac"
+    write_wave(str(wav), pcm, 44100, 16)
+    rc = main(["-q", "-5", "--lpc-dtype", "float32", str(wav),
+               "-o", str(out)])
+    assert rc == 0
+    dec = decode_stream(pathlib.Path(out).read_bytes())
+    assert dec.md5_ok and np.array_equal(dec.samples, pcm)
+
+
+def test_profiling_stage_timer():
+    from flake_tpu.profiling import StageTimer, device_memory_stats
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report(samples=44100)
+    assert "a" in rep and "x2" in rep and "TOTAL" in rep
+    device_memory_stats()  # smoke: no crash on any backend
