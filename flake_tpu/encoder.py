@@ -42,7 +42,12 @@ class Encoder:
     def __init__(self, cfg: P.StreamConfig, *, batch_frames: int = 512,
                  lpc_dtype: str = "float64",
                  vendor_string: str | None = None,
-                 vorbis_entries: list[str] | None = None):
+                 vorbis_entries: list[str] | None = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a "dp" axis — the
+        batched analysis then runs sharded over the mesh's chips
+        (frames data-parallel, SURVEY §2.5) with the pmax collective
+        for STREAMINFO; output bytes are identical to single-chip."""
         import flake_tpu
         flake_tpu._enable_compile_cache_if_tpu()
         self.subset = P.validate_params(cfg)
@@ -57,6 +62,14 @@ class Encoder:
         self.sample_rate = cfg.sample_rate
         self.batch_frames = batch_frames
         self.lpc_dtype = lpc_dtype
+        self.mesh = mesh
+        self._sharded_analyzers: dict = {}
+        if mesh is not None:
+            dp = mesh.shape.get("dp", 1)
+            if batch_frames % dp:
+                raise ValueError(
+                    f"batch_frames {batch_frames} must divide by the "
+                    f"mesh dp size {dp}")
         self.vendor_string = vendor_string or metadata.DEFAULT_VENDOR
 
         self.sr_code = P.samplerate_code(cfg.sample_rate)
@@ -167,6 +180,20 @@ class Encoder:
 
     # -- internals -------------------------------------------------------
 
+    def _analyze_sharded(self, chunk, cfg, hdr_bits):
+        """Mesh-sharded analysis batch (frames over the dp axis)."""
+        from flake_tpu.parallel.mesh import make_sharded_analyzer
+
+        run = self._sharded_analyzers.get(cfg)
+        if run is None:
+            run = make_sharded_analyzer(cfg, self.mesh)
+            self._sharded_analyzers[cfg] = run
+        out = run(np.ascontiguousarray(chunk),
+                  np.ascontiguousarray(hdr_bits))
+        out = dict(out)
+        out.pop("global_max_frame_bytes", None)
+        return out
+
     def _md5_update(self, pcm: np.ndarray):
         if pcm.shape[0] == 0:
             return
@@ -226,8 +253,11 @@ class Encoder:
                     [cnums, np.zeros(bsz - n, cnums.dtype)])
             hdr_bits = self._hdr_bits(cnums, bs_code)
             t0 = time.perf_counter()
-            analysis = analyze_frames_jit(jnp.asarray(chunk), cfg,
-                                          jnp.asarray(hdr_bits))
+            if self.mesh is not None:
+                analysis = self._analyze_sharded(chunk, cfg, hdr_bits)
+            else:
+                analysis = analyze_frames_jit(jnp.asarray(chunk), cfg,
+                                              jnp.asarray(hdr_bits))
             host = {k: np.asarray(v) for k, v in analysis.items()
                     if v is not None}
             host = {k: v[:n] for k, v in host.items()}

@@ -111,14 +111,24 @@ def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
     return shard(samples, hdr_bits)
 
 
+def make_sharded_analyzer(cfg: FrameConfig, mesh: Mesh):
+    """A reusable jitted multi-chip analysis step: places inputs with
+    dp NamedShardings and runs analyze_frames_sharded. Build once per
+    (cfg, mesh) and call per batch — the jit cache then hits."""
+    dp_sharding = NamedSharding(mesh, PS("dp"))
+    step = jax.jit(functools.partial(analyze_frames_sharded, cfg=cfg,
+                                     mesh=mesh))
+
+    def run(samples, hdr_bits):
+        samples = jax.device_put(samples, dp_sharding)
+        hdr_bits = jax.device_put(hdr_bits, dp_sharding)
+        return step(samples, hdr_bits=hdr_bits)
+
+    return run
+
+
 def training_step_sharded(samples, cfg: FrameConfig, hdr_bits,
                           mesh: Mesh):
     """The full jitted multi-chip step: device analysis under real
-    shardings (the driver's dry-run target). Inputs are placed with
-    NamedShardings so jit compiles the distributed program."""
-    dp_sharding = NamedSharding(mesh, PS("dp"))
-    samples = jax.device_put(samples, dp_sharding)
-    hdr_bits = jax.device_put(hdr_bits, dp_sharding)
-    step = jax.jit(functools.partial(analyze_frames_sharded, cfg=cfg,
-                                     mesh=mesh))
-    return step(samples, hdr_bits=hdr_bits)
+    shardings (the driver's dry-run target)."""
+    return make_sharded_analyzer(cfg, mesh)(samples, hdr_bits)
