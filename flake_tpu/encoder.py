@@ -16,17 +16,32 @@ header() -> encode chunks -> streaminfo() rewrite.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import time
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from flake_tpu import metadata
 from flake_tpu import params as P
 from flake_tpu.native import pack_frames
 from flake_tpu.ops.frame import FrameConfig, analyze_frames_jit
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _vbs_section_sums(frames, sec: int):
+    """Channel-averaged abs-sum of the 2nd-order residual per
+    VBS_MAX_FRAMES section (vbs.c:47-63), on device. frames int32
+    [F, bs, C]; returns int64 [F, 8] (the +1 bias included)."""
+    F, bs, C = frames.shape
+    s = jnp.transpose(frames, (0, 2, 1)).astype(jnp.int64)  # [F, C, bs]
+    segs = s.reshape(F, C, P.VBS_MAX_FRAMES, sec)
+    d = segs[..., 2:] - 2 * segs[..., 1:-1] + segs[..., :-2]
+    dd = jnp.abs(d).sum(axis=(-1, 1))                 # [F, 8]
+    return dd // C + 1
 
 
 def _utf8_len(val: int) -> int:
@@ -290,20 +305,16 @@ class Encoder:
         return bytes(out), lengths
 
     def _encode_vbs_superblocks(self, frames: np.ndarray) -> bytes:
-        """Variable block size: batched split decision (vbs.c:36-83),
-        then sub-frames bucketed by size and encoded batch-per-size."""
+        """Variable block size: batched split decision (vbs.c:36-83)
+        computed on device, then sub-frames bucketed by size and
+        encoded batch-per-size (only the tiny [F, 8] layout/bucketing
+        logic stays on host — it is inherently ragged)."""
         F, bs, C = frames.shape
         sec = bs // P.VBS_MAX_FRAMES
 
         # per-section 2nd-order residual predictability (vbs.c:47-63);
         # each section's difference starts at its own third sample
-        s = frames.astype(np.int64)
-        res = np.empty((F, P.VBS_MAX_FRAMES), dtype=np.int64)
-        for i in range(P.VBS_MAX_FRAMES):
-            seg = s[:, i * sec:(i + 1) * sec]
-            dd = np.abs(seg[:, 2:] - 2 * seg[:, 1:-1] + seg[:, :-2]) \
-                .sum(axis=(1, 2))
-            res[:, i] = dd // C + 1
+        res = np.asarray(_vbs_section_sums(jnp.asarray(frames), sec))
 
         layout = np.zeros((F, P.VBS_MAX_FRAMES), dtype=bool)
         layout[:, 0] = True
