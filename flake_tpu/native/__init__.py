@@ -61,6 +61,10 @@ def get_lib() -> ctypes.CDLL:
         lib.flake_crc8.restype = ctypes.c_uint8
         lib.flake_crc16.argtypes = [u8p, ctypes.c_int64]
         lib.flake_crc16.restype = ctypes.c_uint16
+        lib.flake_md5_blocks.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            u8p, ctypes.c_int64]
+        lib.flake_md5_blocks.restype = None
         _lib = lib
         return lib
 
@@ -99,6 +103,13 @@ def pack_frames(analysis: dict, frame_nums: np.ndarray, *,
         bps_code, sr_code[0], sr_code[1], bs_code[0], bs_code[1],
         allow_vbs, precision, ch_code,
         out.reshape(-1), out_stride, lengths)
+
+    if F and lengths.min() < 0:
+        bad = np.flatnonzero(lengths < 0)
+        raise ValueError(
+            f"native packer rejected {bad.size} frame(s) "
+            f"(first at batch index {int(bad[0])}): analysis tensors "
+            "out of range or frame exceeded its slot")
 
     offsets = np.zeros(F, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])

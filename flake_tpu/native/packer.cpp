@@ -15,6 +15,7 @@
 //   Rice partitions              (encode.c:766-798)
 //   footer CRC-16                (encode.c:907-917)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -60,15 +61,27 @@ inline uint16_t calc_crc16(const uint8_t* data, int64_t len) {
 
 // ---------------------------------------------------------- BitWriter --
 
-// 64-bit accumulator MSB-first writer; assumes the caller sized the
-// buffer (device computed exact frame bytes).
+// 64-bit accumulator MSB-first writer with a hard buffer bound and a
+// sticky eof flag (the reference's bitwriter carries the same guard,
+// bitio.h:89-93): once the slot is full no byte is ever stored, pos
+// keeps counting, and the caller reports the frame as failed instead
+// of corrupting the heap.
 struct BitWriter {
     uint8_t* buf;
-    int64_t pos;        // bytes flushed
+    int64_t pos;        // bytes flushed (keeps counting past end)
+    int64_t end;        // slot capacity in bytes
     uint64_t acc;
     int nacc;
+    bool eof;           // sticky: a write did not fit
 
-    explicit BitWriter(uint8_t* b) : buf(b), pos(0), acc(0), nacc(0) {}
+    BitWriter(uint8_t* b, int64_t size)
+        : buf(b), pos(0), end(size), acc(0), nacc(0), eof(false) {}
+
+    inline void emit(uint8_t byte) {
+        if (pos < end) buf[pos] = byte;
+        else eof = true;
+        pos++;
+    }
 
     inline void put(int bits, uint64_t val) {
         acc = (acc << bits) | (val & ((bits == 64)
@@ -76,7 +89,7 @@ struct BitWriter {
         nacc += bits;
         while (nacc >= 8) {
             nacc -= 8;
-            buf[pos++] = static_cast<uint8_t>((acc >> nacc) & 0xFF);
+            emit(static_cast<uint8_t>((acc >> nacc) & 0xFF));
         }
     }
 
@@ -91,6 +104,7 @@ struct BitWriter {
         while (q >= 48) {           // long unary runs in byte chunks
             put(48, 0);
             q -= 48;
+            if (eof) return;        // bound hostile unary runs
         }
         put(static_cast<int>(q) + 1, 1);
         put(k, v & ((1U << k) - 1));
@@ -98,7 +112,7 @@ struct BitWriter {
 
     inline void flush() {          // zero-pad to byte boundary
         if (nacc > 0) {
-            buf[pos++] = static_cast<uint8_t>((acc << (8 - nacc)) & 0xFF);
+            emit(static_cast<uint8_t>((acc << (8 - nacc)) & 0xFF));
             nacc = 0;
         }
         acc = 0;
@@ -123,6 +137,34 @@ constexpr int SF_CONSTANT = 0;
 constexpr int SF_VERBATIM = 1;
 constexpr int SF_FIXED = 8;
 constexpr int SF_LPC = 32;
+
+// Reject analysis tensors that would drive the writer into undefined
+// shifts or out-of-range indexing (adversarial/buggy device output).
+// Mirrors the *constraints* the format imposes (doc/flac_constraints),
+// not any reference code path — the reference trusts its own encoder.
+inline bool valid_subframe(int typ, int ord, int ob, int w, int po,
+                           int B, int parts_stride, const int32_t* ks) {
+    if (ob < 1 || ob > 33 || w < 0 || w > 32) return false;
+    switch (typ) {
+        case SF_CONSTANT:
+        case SF_VERBATIM:
+            return true;
+        case SF_FIXED:
+            if (ord < 0 || ord > 4) return false;
+            break;
+        case SF_LPC:
+            if (ord < 1 || ord > 32) return false;
+            break;
+        default:
+            return false;
+    }
+    if (ord > B) return false;
+    if (po < 0 || po > 14 || (1 << po) > parts_stride) return false;
+    if ((B >> po) << po != B) return false;
+    for (int p = 0; p < (1 << po); p++)
+        if (ks[p] < 0 || ks[p] > 30) return false;
+    return true;
+}
 
 }  // namespace
 
@@ -154,7 +196,18 @@ void flake_pack_frames(
 #pragma omp parallel for schedule(dynamic, 8)
     for (int f = 0; f < F; f++) {
         uint8_t* slot = out + static_cast<int64_t>(f) * out_stride;
-        BitWriter bw(slot);
+        BitWriter bw(slot, out_stride);
+
+        // validate per-channel selection data up front: a frame with
+        // out-of-range values is reported as length -1, never packed
+        bool ok = true;
+        for (int c = 0; c < C; c++) {
+            const int64_t fc = static_cast<int64_t>(f) * C + c;
+            ok = ok && valid_subframe(
+                sf_type[fc], order[fc], obits[fc], wasted[fc],
+                porder[fc], B, parts_stride, rice_k + fc * parts_stride);
+        }
+        if (!ok) { lengths[f] = -1; continue; }
 
         // ---- frame header (encode.c:718-764) ----
         bw.put(15, 0x7FFC);
@@ -168,10 +221,11 @@ void flake_pack_frames(
         if (bs_code1 >= 0) bw.put(bs_code1 < 256 ? 8 : 16, bs_code1);
         if (sr_code1 > 0) bw.put(sr_code1 < 256 ? 8 : 16, sr_code1);
         bw.flush();
+        if (bw.eof) { lengths[f] = -1; continue; }
         bw.put(8, calc_crc8(slot, bw.pos));
 
         // ---- subframes (encode.c:871-905) ----
-        for (int c = 0; c < C; c++) {
+        for (int c = 0; c < C && !bw.eof; c++) {
             const int64_t fc = static_cast<int64_t>(f) * C + c;
             const int32_t* res = residual + fc * B;
             const int ob = obits[fc];
@@ -230,11 +284,74 @@ void flake_pack_frames(
 
         // ---- footer (encode.c:907-917) ----
         bw.flush();
+        if (bw.eof || bw.pos + 2 > out_stride) { lengths[f] = -1; continue; }
         const uint16_t crc = calc_crc16(slot, bw.pos);
         bw.put(16, crc);
         bw.flush();
-        lengths[f] = bw.pos;
+        lengths[f] = bw.eof ? -1 : bw.pos;
     }
+}
+
+// ---------------------------------------------------------------- MD5 --
+//
+// Block-level MD5 compress with caller-owned state, so the digest chain
+// can be exported, shipped across hosts (the multi-host ring), and
+// resumed — functionality the reference gets from its in-process md5.c
+// but which must be state-portable here. Implemented from RFC 1321: the
+// sine-derived constant table is generated at load time and the four
+// round functions are expressed directly.
+
+namespace {
+
+struct Md5Tables {
+    uint32_t K[64];
+    Md5Tables() {
+        for (int i = 0; i < 64; i++) {
+            double s = std::sin(static_cast<double>(i + 1));
+            K[i] = static_cast<uint32_t>(std::floor(std::fabs(s)
+                                                    * 4294967296.0));
+        }
+    }
+};
+const Md5Tables kMd5;
+
+constexpr int kShift[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21};
+
+inline uint32_t rotl32(uint32_t x, int c) {
+    return (x << c) | (x >> (32 - c));
+}
+
+}  // namespace
+
+// Compress ``nblocks`` 64-byte blocks into state[4] (little-endian
+// message words, RFC 1321 section 3.4).
+void flake_md5_blocks(uint32_t* state, const uint8_t* data,
+                      int64_t nblocks) {
+    uint32_t a0 = state[0], b0 = state[1], c0 = state[2], d0 = state[3];
+    for (int64_t blk = 0; blk < nblocks; blk++) {
+        uint32_t m[16];
+        std::memcpy(m, data + blk * 64, 64);  // LE hosts: direct words
+        uint32_t a = a0, b = b0, c = c0, d = d0;
+        for (int i = 0; i < 64; i++) {
+            uint32_t f;
+            int g;
+            if (i < 16) { f = (b & c) | (~b & d); g = i; }
+            else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15; }
+            else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15; }
+            else { f = c ^ (b | ~d); g = (7 * i) & 15; }
+            uint32_t tmp = d;
+            d = c;
+            c = b;
+            b = b + rotl32(a + f + kMd5.K[i] + m[g], kShift[i]);
+            a = tmp;
+        }
+        a0 += a; b0 += b; c0 += c; d0 += d;
+    }
+    state[0] = a0; state[1] = b0; state[2] = c0; state[3] = d0;
 }
 
 // Concatenate strided frame slots into a contiguous stream.

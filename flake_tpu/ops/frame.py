@@ -59,6 +59,12 @@ class FrameConfig:
     max_partition_order: int
     precision: int = P.LPC_PRECISION
     lpc_dtype: str = "float64"
+    # autocorrelation backend: "auto" picks the double-double two-f32
+    # path (native VPU ops, ~2^-44 relative of the f64 result) whenever
+    # samples fit f32 exactly (obits <= 24) and the analysis dtype is
+    # float64; "exact" forces the emulated-f64 formulation; "dd" forces
+    # the compensated path
+    autocorr_mode: str = "auto"
     # candidate-order sweep backend: "auto" = the XLA formulation (it
     # fuses the whole sweep into one HBM pass and measures faster than
     # the hand-written kernel end-to-end; see ops/pallas_sweep.py),
@@ -70,7 +76,8 @@ class FrameConfig:
     def from_params(cls, p: P.EncodeParams, channels: int, bps: int,
                     block_size: int | None = None,
                     lpc_dtype: str = "float64",
-                    use_pallas: str = "auto"):
+                    use_pallas: str = "auto",
+                    autocorr_mode: str = "auto"):
         return cls(
             block_size=block_size or p.block_size,
             channels=channels, bps=bps,
@@ -83,6 +90,7 @@ class FrameConfig:
             max_partition_order=int(p.max_partition_order),
             lpc_dtype=lpc_dtype,
             use_pallas=use_pallas,
+            autocorr_mode=autocorr_mode,
         )
 
 
@@ -220,7 +228,18 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         min_o = cfg.min_prediction_order
         max_o = cfg.max_prediction_order
         window = lpc_ops.welch_window(n)
-        autoc = lpc_ops.autocorr(chans, max_o, jnp.asarray(window), dtype)
+        # mid/side adds one bit: samples fit f32 exactly iff bps+1 <= 24
+        use_dd = (cfg.autocorr_mode == "dd"
+                  or (cfg.autocorr_mode == "auto" and cfg.bps <= 23
+                      and cfg.lpc_dtype == "float64"))
+        if use_dd:
+            whi, wlo = lpc_ops.split_window_f32(window)
+            autoc = lpc_ops.autocorr_dd(chans, max_o, jnp.asarray(whi),
+                                        jnp.asarray(wlo))
+        else:
+            autoc = lpc_ops.autocorr(chans, max_o, jnp.asarray(window),
+                                     dtype)
+        autoc = autoc.astype(dtype)
         lpc_rows, refs = lpc_ops.levinson_all_orders(autoc)
         qcoefs, shifts = lpc_ops.quantize_lpc_coefs(lpc_rows,
                                                     cfg.precision)

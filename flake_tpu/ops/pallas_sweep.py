@@ -78,6 +78,15 @@ def _sweep_kernel(coef_ref, shift_ref, s_ref, lo_ref, hi_ref, *,
     roll = jnp.roll if interpret else pltpu.roll
     zero = jnp.zeros(shape, jnp.int32)
 
+    # lane-group membership as an f32 0/1 matrix: partition sums become
+    # ONE [*, 128] x [128, ppr] matmul per block instead of per-(order,
+    # partition) masked lane reductions + strided stores (the v1
+    # bottleneck). Exact: limb values <= 0xFFFF and gs <= 128 keep every
+    # product/sum below 2^24, and HIGHEST precision pins true f32.
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (128, ppr), 0) // i32(gs)
+    part_q = jax.lax.broadcasted_iota(jnp.int32, (128, ppr), 1)
+    gmask = (lane_q == part_q).astype(jnp.float32)
+
     for g in range(group):
         s = s_ref[g]                                   # [rows, 128]
         # lag-j views: rotate lanes by j, fetch the row boundary from
@@ -90,6 +99,7 @@ def _sweep_kernel(coef_ref, shift_ref, s_ref, lo_ref, hi_ref, *,
             lag = jnp.where((row == i32(0)) & (col < i32(j)), zero, lag)
             lags.append(lag)
 
+        limbs = []                                     # max_order x 2
         for o in range(1, max_order + 1):
             acc_lo = zero
             acc_hi = zero
@@ -115,15 +125,17 @@ def _sweep_kernel(coef_ref, shift_ref, s_ref, lo_ref, hi_ref, *,
             # the logical high half from the arithmetic shift
             z = (i32(2) * res) ^ (res >> i32(31))
             z = jnp.where(idx < i32(o), zero, z)       # warm-up excl.
-            zlo = z & i32(0xFFFF)
-            zhi = (z >> i32(16)) & i32(0xFFFF)
-            for q in range(ppr):
-                m = (col // i32(gs)) == i32(q)
-                # accumulator dtype pinned (x64 would promote to int64)
-                lo_ref[g, o - 1, :, q] = jnp.sum(
-                    jnp.where(m, zlo, zero), axis=1, dtype=jnp.int32)
-                hi_ref[g, o - 1, :, q] = jnp.sum(
-                    jnp.where(m, zhi, zero), axis=1, dtype=jnp.int32)
+            limbs.append(z & i32(0xFFFF))
+            limbs.append((z >> i32(16)) & i32(0xFFFF))
+
+        # [max_order*2*rows, 128] x [128, ppr] -> per-partition limb sums
+        big = jnp.concatenate(limbs, axis=0).astype(jnp.float32)
+        sums = jax.lax.dot_general(
+            big, gmask, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        sums = sums.reshape(max_order, 2, rows, ppr)
+        lo_ref[g] = sums[:, 0]
+        hi_ref[g] = sums[:, 1]
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # in a way the env var alone does not override — force it via config too
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite's wall time is dominated by XLA CPU
+# compiles of the batched pipeline; caching makes re-runs fast
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,8 +1,22 @@
-"""Attribute level-8 device time to pipeline stages (tunnel-safe timing)."""
-import time, json
+"""Attribute level-8 device time to pipeline stages (tunnel-safe timing).
+
+Run from the repo root: ``python util/prof_stages.py``. Stage obits are
+derived from the front-end outputs (bps + stereo extra - wasted bits) so
+timings match analyze_frames exactly.
+"""
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax, jax.numpy as jnp
+import flake_tpu
 from flake_tpu import params as P
+
+flake_tpu._enable_compile_cache_if_tpu()
 from flake_tpu.ops.frame import FrameConfig, analyze_frames
 from flake_tpu.ops import lpc as lpc_ops, predict, stereo, wasted
 from flake_tpu.ops.rice import calc_rice_params_dynamic, subframe_bits_dynamic
@@ -51,7 +65,8 @@ def front_fn(samples):
     ch0, ch1, extra = stereo.apply_decorr(chans[:, 0], chans[:, 1], mode, 16)
     chans = jnp.stack([ch0, ch1], axis=1)
     chans, wb = wasted.remove_wasted_bits(chans, 16)
-    return chans, wb
+    obits = 16 + extra - wb  # int32 [F, 2], matches analyze_frames
+    return chans, wb, obits
 
 def lpc_fn(chans):
     window = lpc_ops.welch_window(B)
@@ -64,8 +79,7 @@ def autocorr_fn(chans):
     window = lpc_ops.welch_window(B)
     return lpc_ops.autocorr(chans, 12, jnp.asarray(window), dtype)
 
-def sweep_fn(chans, qcoefs, shifts):
-    obits = jnp.full((F, 2), 17, jnp.int32)
+def sweep_fn(chans, qcoefs, shifts, obits):
     max_o, CHUNK = 12, 6
     chans_b = chans[..., None, :]
     obits_b = obits[..., None]
@@ -91,13 +105,14 @@ def final_fn(chans, qcoefs, shifts, order):
 
 
 full = timeit(full_fn, samples)
-chans, wb = jax.jit(front_fn)(samples)
+chans, wb, obits = jax.jit(front_fn)(samples)
 chans = jnp.asarray(np.asarray(chans))  # materialize as plain input
+obits = jnp.asarray(np.asarray(obits))
 front = timeit(front_fn, samples)
 qcoefs, shifts = [jnp.asarray(np.asarray(x)) for x in jax.jit(lpc_fn)(chans)]
 lpc_t = timeit(lpc_fn, chans)
 ac_t = timeit(autocorr_fn, chans)
-sweep_t = timeit(sweep_fn, chans, qcoefs, shifts)
+sweep_t = timeit(sweep_fn, chans, qcoefs, shifts, obits)
 order = jnp.full((F, 2), 8, jnp.int32)
 final_t = timeit(final_fn, chans, qcoefs, shifts, order)
 
