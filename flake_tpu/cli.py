@@ -293,7 +293,12 @@ def encode_file(opts: Options, infile: str, outfile: str,
         err.write("\n")
 
     bs = cfg.params.block_size
-    chunk_frames = max(1, (1 << 22) // max(bs * info.channels, 1))
+    # feed the encoder whole device batches so CLI throughput matches
+    # the batched-pipeline benchmark: at least batch_frames frames per
+    # read (clamped to ~64 MB of PCM for memory safety on huge blocks)
+    chunk_frames = max(1, min(2 * enc.batch_frames,
+                              (1 << 26) // max(bs * info.channels * 4, 1)))
+    chunk_frames = max(chunk_frames, 1)
     bytecount = len(header)
     samplecount = 0
     block_align = info.bits_per_sample * info.channels / 8

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import threading
 import time
 
 import numpy as np
@@ -135,11 +136,21 @@ class Encoder:
         bs = self.params.block_size
         n_full = pcm.shape[0] // bs
         out = bytearray()
-        if n_full:
-            frames = pcm[:n_full * bs].reshape(n_full, bs, self.channels)
-            out += self._encode_full_frames(frames)
         self._pending = pcm[n_full * bs:].copy()
-        self._md5_update(pcm[:n_full * bs])
+        if n_full:
+            # MD5 of the raw input bytes is the one inherently serial
+            # cross-frame chain (md5.c:281-320); run it on a worker
+            # thread overlapped with device analysis + packing
+            # (hashlib releases the GIL for large buffers)
+            md5_t = threading.Thread(
+                target=self._md5_update, args=(pcm[:n_full * bs],))
+            md5_t.start()
+            try:
+                frames = pcm[:n_full * bs].reshape(n_full, bs,
+                                                   self.channels)
+                out += self._encode_full_frames(frames)
+            finally:
+                md5_t.join()
         if last:
             out += self.finish()
         return bytes(out)
@@ -257,7 +268,10 @@ class Encoder:
         out = bytearray()
         all_lengths = []
         bsz = self.batch_frames
-        for start in range(0, F, bsz):
+
+        def dispatch(start):
+            """Enqueue one device batch (JAX dispatch is async — this
+            returns immediately with device arrays still computing)."""
             chunk = frames[start:start + bsz]
             cnums = nums[start:start + bsz]
             n = chunk.shape[0]
@@ -267,15 +281,21 @@ class Encoder:
                 cnums = np.concatenate(
                     [cnums, np.zeros(bsz - n, cnums.dtype)])
             hdr_bits = self._hdr_bits(cnums, bs_code)
-            t0 = time.perf_counter()
             if self.mesh is not None:
                 analysis = self._analyze_sharded(chunk, cfg, hdr_bits)
             else:
                 analysis = analyze_frames_jit(jnp.asarray(chunk), cfg,
                                               jnp.asarray(hdr_bits))
-            host = {k: np.asarray(v) for k, v in analysis.items()
-                    if v is not None}
-            host = {k: v[:n] for k, v in host.items()}
+            return analysis, cnums, n
+
+        def drain(item):
+            """Fetch one finished batch and pack it on host — while the
+            device already runs the next dispatched batch."""
+            analysis, cnums, n = item
+            t0 = time.perf_counter()
+            host = jax.device_get(
+                {k: v for k, v in analysis.items() if v is not None})
+            host = {k: np.asarray(v)[:n] for k, v in host.items()}
             t1 = time.perf_counter()
             blob, lengths = pack_frames(
                 host, cnums[:n].astype(np.uint32),
@@ -293,13 +313,24 @@ class Encoder:
                     f"{predicted[:8]} vs {lengths[:8]}")
             self.max_frame_size = max(self.max_frame_size,
                                       int(lengths.max(initial=0)))
-            out += blob
+            out.extend(blob)
             all_lengths.append(lengths)
             self.stats["frames"] += n
             self.stats["batches"] += 1
             self.stats["device_seconds"] += t1 - t0
             self.stats["pack_seconds"] += time.perf_counter() - t1
             self.stats["bytes_out"] += len(blob)
+
+        # two-deep software pipeline: batch i packs on host while
+        # batch i+1 computes on device (SURVEY §6: pack/MD5 must
+        # overlap device compute)
+        inflight: list = []
+        for start in range(0, F, bsz):
+            inflight.append(dispatch(start))
+            if len(inflight) >= 2:
+                drain(inflight.pop(0))
+        for item in inflight:
+            drain(item)
         lengths = np.concatenate(all_lengths) if all_lengths \
             else np.zeros(0, np.int64)
         return bytes(out), lengths

@@ -240,11 +240,20 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
             autoc = lpc_ops.autocorr(chans, max_o, jnp.asarray(window),
                                      dtype)
         autoc = autoc.astype(dtype)
-        lpc_rows, refs = lpc_ops.levinson_all_orders(autoc)
+        method = cfg.order_method
+        if method == P.OrderMethod.EST:
+            # the reference EST path (lpc.c:125-162): Schur recursion
+            # for the reflection coefficients, order estimate from
+            # them, then Levinson seeded with those refs — reproduced
+            # operation-for-operation so the floats (and therefore the
+            # quantized coefficients) match the scalar oracle bitwise
+            refs = lpc_ops.schur_refs(autoc)
+            lpc_rows = lpc_ops.levinson_from_refs(refs)
+        else:
+            lpc_rows, refs = lpc_ops.levinson_all_orders(autoc)
         qcoefs, shifts = lpc_ops.quantize_lpc_coefs(lpc_rows,
                                                     cfg.precision)
 
-        method = cfg.order_method
         need_bits = method not in (P.OrderMethod.MAX, P.OrderMethod.EST)
         bits_all = None
         pmax_static = limit_max_partition_order(pmax, n, 1)

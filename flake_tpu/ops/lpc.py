@@ -236,6 +236,63 @@ def levinson_all_orders(autoc):
     return rows, refs
 
 
+def schur_refs(autoc):
+    """Schur recursion for reflection coefficients (lpc.c:136-147),
+    vectorised over the batch — the float path the reference's EST
+    order method actually runs, reproduced operation-for-operation so
+    EST selections are bitwise identical to the scalar oracle (the
+    Levinson recursion's reflection coefficients are only
+    *algebraically* equal; their rounding differs).
+
+    ``autoc`` [..., max_order+1] float. Returns [..., max_order].
+    """
+    max_order = autoc.shape[-1] - 1
+    gen0 = autoc[..., 1:]
+    gen1 = gen0
+    error = autoc[..., 0]
+    refs = []
+    r = -gen1[..., 0] / error
+    error = error + gen1[..., 0] * r
+    refs.append(r)
+    zero_tail = jnp.zeros_like(autoc[..., :1])
+    for _ in range(1, max_order):
+        g1s = jnp.concatenate([gen1[..., 1:], zero_tail], axis=-1)
+        gen1 = g1s + r[..., None] * gen0
+        gen0 = g1s * r[..., None] + gen0
+        r = -gen1[..., 0] / error
+        error = error + gen1[..., 0] * r
+        refs.append(r)
+    return jnp.stack(refs, axis=-1)
+
+
+def levinson_from_refs(refs):
+    """Levinson symmetric update seeded with precomputed reflection
+    coefficients — compute_lpc_coefs(NULL, order, ref, lpc)
+    (lpc.c:77-117 with the ``ref`` branch), as run by the EST method
+    after Schur. Row o-1 only depends on refs[..., :o], so producing
+    all rows and gathering the estimated order's row reproduces the
+    reference exactly.
+
+    ``refs`` [..., m]. Returns rows [..., m, MAX_LPC_ORDER] (negated,
+    prediction convention, like :func:`levinson_all_orders`).
+    """
+    m = refs.shape[-1]
+    W = P.MAX_LPC_ORDER
+    taps = jnp.arange(W)
+    batch = refs.shape[:-1]
+    tmp = jnp.zeros(batch + (W,), dtype=refs.dtype)
+    rev = tmp
+    rows = []
+    for i in range(m):
+        r = refs[..., i][..., None]
+        new_tmp = jnp.where(taps < i, tmp + r * rev, tmp)
+        new_tmp = jnp.where(taps == i, r, new_tmp)
+        rev = jnp.concatenate([r, (rev + r * tmp)[..., :-1]], axis=-1)
+        tmp = new_tmp
+        rows.append(jnp.where(taps <= i, -tmp, 0.0))
+    return jnp.stack(rows, axis=-2)
+
+
 def estimate_order(refs, max_order: int):
     """EST order rule: highest step with |ref| > 0.10, min 1
     (lpc.c:149-156). Returns int32 [...]."""

@@ -150,3 +150,24 @@ def test_nonstandard_sample_rate_codes():
         dec = decode_stream(blob)
         assert dec.streaminfo.sample_rate == sr
         np.testing.assert_array_equal(dec.samples, pcm)
+
+
+def test_est_near_threshold_refs():
+    """Adversarial EST parity: AR(1) signals whose first reflection
+    coefficient sits within ulps of the |ref| > 0.10 decision threshold
+    (lpc.c:149-156).  The device path must make the same EST order
+    choice (and produce the same quantized coefficients) as the scalar
+    oracle because both now run the Schur recursion, not Levinson."""
+    rng = np.random.default_rng(7)
+    n = 2048
+    for i, a in enumerate([-0.0999999, -0.1, -0.1000001, -0.100001,
+                           -0.09999, 0.1, 0.0999999]):
+        noise = rng.standard_normal(n + 64) * 400
+        x = np.zeros(n + 64)
+        for t in range(1, n + 64):
+            x[t] = -a * x[t - 1] + noise[t]
+        pcm = np.stack([x[64:], x[64:] * 0.97], axis=1)
+        pcm = np.clip(pcm, -30000, 30000).astype(np.int32)
+        assert_parity(pcm, level=5, block_size=512)
+        if i < 2:
+            assert_parity(pcm, level=6, block_size=1024)
