@@ -338,6 +338,10 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
                                            max_o, narrow=cfg.bps <= 16)
         rc = calc_rice_params_dynamic(res, n, order, pmin, pmax)
         sf_type = jnp.full((F, C), SF_LPC, jnp.int32)
+        if coefs.shape[-1] < P.MAX_LPC_ORDER:  # packer expects 32 taps
+            coefs = jnp.pad(
+                coefs, [(0, 0)] * (coefs.ndim - 1)
+                + [(0, P.MAX_LPC_ORDER - coefs.shape[-1])])
 
     # -- CONSTANT override (checked first in the reference) --------------
     sf_type = jnp.where(constant, SF_CONSTANT, sf_type)

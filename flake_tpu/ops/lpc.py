@@ -183,8 +183,11 @@ def levinson_all_orders(autoc):
     of the analysis, SURVEY §2.5 — depth <=32, batch-wide body).
 
     Returns:
-      lpc  [..., max_order, MAX_LPC_ORDER] float: row o-1 holds the
-           coefficients for order o (negated, prediction convention)
+      lpc  [..., max_order, max_order] float: row o-1 holds the
+           coefficients for order o (negated, prediction convention;
+           taps >= o are zero). The tap axis is max_order wide — not
+           MAX_LPC_ORDER — so the f64 recursion does no work on taps the
+           search can never use (a 2.7x saving at level 8's order 12).
       refs [..., max_order] float: reflection coefficient per step,
            used by the EST order estimator.
     """
@@ -193,7 +196,7 @@ def levinson_all_orders(autoc):
     max_order = autoc.shape[-1] - 1
     batch = autoc.shape[:-1]
     dtype = autoc.dtype
-    W = P.MAX_LPC_ORDER
+    W = max_order
     taps = jnp.arange(W)
     tiny = jnp.finfo(dtype).tiny
 
@@ -273,11 +276,11 @@ def levinson_from_refs(refs):
     all rows and gathering the estimated order's row reproduces the
     reference exactly.
 
-    ``refs`` [..., m]. Returns rows [..., m, MAX_LPC_ORDER] (negated,
-    prediction convention, like :func:`levinson_all_orders`).
+    ``refs`` [..., m]. Returns rows [..., m, m] (negated, prediction
+    convention, like :func:`levinson_all_orders`).
     """
     m = refs.shape[-1]
-    W = P.MAX_LPC_ORDER
+    W = m
     taps = jnp.arange(W)
     batch = refs.shape[:-1]
     tmp = jnp.zeros(batch + (W,), dtype=refs.dtype)
@@ -304,28 +307,46 @@ def estimate_order(refs, max_order: int):
 def quantize_lpc_coefs(lpc, precision: int):
     """Quantize per-order coefficient rows (lpc.c:167-219).
 
-    ``lpc`` [..., n_orders, MAX_LPC_ORDER] float where row o-1 uses taps
-    [:o]. Returns (coefs int32 same shape, shift int32 [..., n_orders]).
+    ``lpc`` [..., n_orders, W] float where row o-1 uses taps [:o] (W is
+    the tap-axis width, typically == n_orders). Returns (coefs int32
+    same shape, shift int32 [..., n_orders]).
 
-    Reproduces: the 15-step shift search, the scale-down branch for
-    sh==0 && cmax>qmax, the all-zero early-out, and the error-feedback
-    rounding with C's truncation of (error + 0.5) toward zero.
+    Reproduces: the shift search, the scale-down branch for sh==0 &&
+    cmax>qmax, the all-zero early-out, and the error-feedback rounding
+    with C's truncation of (error + 0.5) toward zero.
     """
     n_orders = lpc.shape[-2]
+    W = lpc.shape[-1]
     qmax = (1 << (precision - 1)) - 1
-    taps = jnp.arange(P.MAX_LPC_ORDER)
+    taps = jnp.arange(W)
     order_of_row = jnp.arange(1, n_orders + 1)[:, None]     # [n_orders,1]
-    valid = taps[None, :] < order_of_row                    # [n_orders,32]
+    valid = taps[None, :] < order_of_row                    # [n_orders,W]
 
     absl = jnp.where(valid, jnp.abs(lpc), 0.0)
     cmax = jnp.max(absl, axis=-1)                           # [..., n_orders]
 
     zero_out = cmax * (1 << 15) < 1.0
 
-    sh = jnp.full(cmax.shape, 15, dtype=jnp.int32)
-    for _ in range(15):
-        dec = (cmax * jnp.exp2(sh.astype(lpc.dtype)) > qmax) & (sh > 0)
-        sh = jnp.where(dec, sh - 1, sh)
+    # closed form of the reference's downward shift scan (lpc.c:193-206):
+    # the loop yields the largest sh in [0,15] with cmax * 2^sh <= qmax
+    # (or 15 when even 2^15 stays under, e.g. cmax == 0). Estimate the
+    # exponent from the float32 image of cmax (bit extraction — f64
+    # frexp does not lower on TPU), then resolve the true s* with exact
+    # f64 power-of-two comparisons in a +-2 window: f32 rounding moves
+    # the exponent by at most one, and the qmax boundary by one more.
+    # 4 parallel comparisons replace the 15-step sequential loop.
+    import jax
+
+    f32bits = jax.lax.bitcast_convert_type(
+        cmax.astype(jnp.float32), jnp.int32)
+    e32 = ((f32bits >> 23) & 0xFF) - 126       # frexp convention
+    s0 = (precision - 1) - e32
+    sh = jnp.full(cmax.shape, -(1 << 20), jnp.int32)
+    for d in (-2, -1, 0, 1):
+        s = s0 + d
+        ok = cmax * jnp.exp2(s.astype(lpc.dtype)) <= qmax
+        sh = jnp.where(ok, jnp.maximum(sh, s), sh)
+    sh = jnp.clip(sh, 0, 15)
 
     scale_down = (sh == 0) & (cmax > qmax)
     lpc_s = jnp.where(scale_down[..., None],
@@ -348,10 +369,10 @@ def quantize_lpc_coefs(lpc, precision: int):
         return error, q.astype(jnp.int32)
 
     error0 = jnp.zeros(cmax.shape, dtype=lpc.dtype)
-    vt = jnp.moveaxis(valid, -1, 0).reshape(      # [32, 1.., n_orders]
-        (P.MAX_LPC_ORDER,) + (1,) * (len(cmax.shape) - 1) + (n_orders,))
+    vt = jnp.moveaxis(valid, -1, 0).reshape(      # [W, 1.., n_orders]
+        (W,) + (1,) * (len(cmax.shape) - 1) + (n_orders,))
     xs = (jnp.moveaxis(lpc_s, -1, 0),
-          jnp.broadcast_to(vt, (P.MAX_LPC_ORDER,) + cmax.shape))
+          jnp.broadcast_to(vt, (W,) + cmax.shape))
     _, qs = jax.lax.scan(step, error0, xs)
     coefs = jnp.moveaxis(qs, 0, -1)
     coefs = jnp.where(zero_out[..., None], 0, coefs)

@@ -180,8 +180,10 @@ def test_levinson_matches_oracle():
     autoc = oracle.compute_autocorr(smp, 12)
     rows, refs = lpc_ops.levinson_all_orders(jnp.asarray(autoc)[None])
     want_rows, want_refs = oracle.compute_lpc_coefs(autoc, 12, None)
-    np.testing.assert_allclose(np.asarray(rows)[0, :, :32],
-                               want_rows[:, :32], rtol=1e-9, atol=1e-12)
+    W = rows.shape[-1]  # tap axis is max_order wide (taps >= o are 0)
+    np.testing.assert_allclose(np.asarray(rows)[0, :, :W],
+                               want_rows[:, :W], rtol=1e-9, atol=1e-12)
+    assert not want_rows[:, W:].any()
     np.testing.assert_allclose(np.asarray(refs)[0], want_refs,
                                rtol=1e-9, atol=1e-12)
 
