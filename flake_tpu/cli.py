@@ -294,11 +294,11 @@ def encode_file(opts: Options, infile: str, outfile: str,
 
     bs = cfg.params.block_size
     # feed the encoder whole device batches so CLI throughput matches
-    # the batched-pipeline benchmark: at least batch_frames frames per
-    # read (clamped to ~64 MB of PCM for memory safety on huge blocks)
+    # the batched-pipeline benchmark; the ~64 MB PCM clamp (memory
+    # safety on huge blocks) may yield fewer than batch_frames frames
+    # per read, in which case device batches are zero-padded
     chunk_frames = max(1, min(2 * enc.batch_frames,
                               (1 << 26) // max(bs * info.channels * 4, 1)))
-    chunk_frames = max(chunk_frames, 1)
     bytecount = len(header)
     samplecount = 0
     block_align = info.bits_per_sample * info.channels / 8
@@ -328,7 +328,8 @@ def encode_file(opts: Options, infile: str, outfile: str,
     if opts.stats:
         s = enc.stats
         err.write(f"stats: frames={s['frames']} batches={s['batches']} "
-                  f"device={s['device_seconds']:.3f}s "
+                  f"device_wait={s['device_wait_seconds']:.3f}s "
+                  f"fetch={s['fetch_seconds']:.3f}s "
                   f"pack={s['pack_seconds']:.3f}s "
                   f"bytes_out={s['bytes_out']}\n")
 

@@ -68,8 +68,13 @@ class Encoder:
         flake_tpu._enable_compile_cache_if_tpu()
         self.subset = P.validate_params(cfg)
         self.vorbis_entries = list(vorbis_entries or [])
-        # encode-side counters (observability; SURVEY §5)
-        self.stats = {"frames": 0, "batches": 0, "device_seconds": 0.0,
+        # encode-side counters (observability; SURVEY §5).
+        # device_wait_seconds: time spent blocked on device results
+        # (with the 2-deep pipeline this is device compute NOT hidden by
+        # host packing); fetch_seconds: device->host transfer of the
+        # analysis tensors; pack_seconds: host C++ bitstream packing.
+        self.stats = {"frames": 0, "batches": 0,
+                      "device_wait_seconds": 0.0, "fetch_seconds": 0.0,
                       "pack_seconds": 0.0, "bytes_out": 0}
         self.cfg = cfg
         self.params = cfg.params
@@ -141,9 +146,18 @@ class Encoder:
             # MD5 of the raw input bytes is the one inherently serial
             # cross-frame chain (md5.c:281-320); run it on a worker
             # thread overlapped with device analysis + packing
-            # (hashlib releases the GIL for large buffers)
-            md5_t = threading.Thread(
-                target=self._md5_update, args=(pcm[:n_full * bs],))
+            # (hashlib releases the GIL for large buffers). A worker
+            # failure must fail the encode — a silently wrong STREAMINFO
+            # MD5 would look like success.
+            md5_err: list[BaseException] = []
+
+            def md5_work(buf=pcm[:n_full * bs]):
+                try:
+                    self._md5_update(buf)
+                except BaseException as e:  # re-raised after join
+                    md5_err.append(e)
+
+            md5_t = threading.Thread(target=md5_work)
             md5_t.start()
             try:
                 frames = pcm[:n_full * bs].reshape(n_full, bs,
@@ -151,6 +165,8 @@ class Encoder:
                 out += self._encode_full_frames(frames)
             finally:
                 md5_t.join()
+                if md5_err:
+                    raise md5_err[0]
         if last:
             out += self.finish()
         return bytes(out)
@@ -293,8 +309,10 @@ class Encoder:
             device already runs the next dispatched batch."""
             analysis, cnums, n = item
             t0 = time.perf_counter()
-            host = jax.device_get(
-                {k: v for k, v in analysis.items() if v is not None})
+            pending = {k: v for k, v in analysis.items() if v is not None}
+            jax.block_until_ready(pending)   # device compute wait
+            t_ready = time.perf_counter()
+            host = jax.device_get(pending)   # D2H transfer
             host = {k: np.asarray(v)[:n] for k, v in host.items()}
             t1 = time.perf_counter()
             blob, lengths = pack_frames(
@@ -317,7 +335,8 @@ class Encoder:
             all_lengths.append(lengths)
             self.stats["frames"] += n
             self.stats["batches"] += 1
-            self.stats["device_seconds"] += t1 - t0
+            self.stats["device_wait_seconds"] += t_ready - t0
+            self.stats["fetch_seconds"] += t1 - t_ready
             self.stats["pack_seconds"] += time.perf_counter() - t1
             self.stats["bytes_out"] += len(blob)
 
@@ -389,35 +408,14 @@ class Encoder:
         return b"".join(pieces)  # type: ignore[arg-type]
 
     def _encode_tail(self, tail: np.ndarray) -> bytes:
-        """Final partial frame via the scalar oracle (one frame)."""
+        """Final partial frame via the scalar oracle (one frame).
+
+        The oracle's own MD5 update is discarded — the stream's MD5
+        chain lives in this encoder (finish() hashes the tail)."""
         from flake_tpu.oracle.encoder import OracleEncoder
 
-        o = OracleEncoder.__new__(OracleEncoder)
-        o.cfg = self.cfg
-        o.params = self.params
-        o.channels = self.channels
-        o.sample_rate = self.sample_rate
-        o.bps = self.bps
-        o.sample_count = self.sample_count
-        o.lpc_precision = P.LPC_PRECISION
-        o.sr_code = self.sr_code
-        o.bps_code = self.bps_code
-        o.ch_code = self.ch_code
-        o.max_frame_size = self.max_frame_size
-        o.frame_buffer_size = P.max_frame_size(
-            self.params.block_size, self.channels, self.bps) * 3 // 2
-        o.frame_count = self.frame_count
-        o.last_frame = False
-        o.vendor_string = self.vendor_string
-        n = tail.shape[0]
-        if (self.params.variable_block_size
-                and n % P.VBS_MAX_FRAMES == 0
-                and n >= P.VBS_MIN_BLOCK_SIZE):
-            out = o._encode_frame_vbs(tail.reshape(-1), n)
-            if out is None:
-                out = o._encode_one(tail.reshape(-1), n)
-        else:
-            out = o._encode_one(tail.reshape(-1), n)
+        o = OracleEncoder.from_encoder(self)
+        out = o.encode_frame(tail.reshape(-1), tail.shape[0])
         self.frame_count = o.frame_count
-        self.max_frame_size = max(self.max_frame_size, o.max_frame_size)
+        self.max_frame_size = o.max_frame_size
         return out

@@ -391,6 +391,18 @@ class OracleEncoder:
         self.md5 = hashlib.md5()
         self.vendor_string = vendor_string or metadata.DEFAULT_VENDOR
 
+    @classmethod
+    def from_encoder(cls, enc) -> "OracleEncoder":
+        """Oracle continuing an in-progress stream — used by the batched
+        encoder for its final partial frame, which needs the stream's
+        current frame counter and max-frame-size stat (the MD5 chain
+        stays with the batched encoder)."""
+        o = cls(enc.cfg, vendor_string=enc.vendor_string)
+        o.sample_count = enc.sample_count
+        o.max_frame_size = enc.max_frame_size
+        o.frame_count = enc.frame_count
+        return o
+
     # -- headers ----------------------------------------------------------
 
     def header(self) -> bytes:
