@@ -97,24 +97,43 @@ def main() -> int:
     hdr_bits = jnp.full((F,), 48, jnp.int32)
 
     def measure(cfg):
-        # warm-up / compile (force with a real readback:
-        # block_until_ready does not reliably block on tunneled
-        # platforms); then chain iterations, one readback syncs all
+        # slope timing: run K in-graph repetitions (distinct inputs so
+        # nothing CSEs) and take (t_K - t_1) / (K - 1) — per-dispatch
+        # overhead through the tunneled device link cancels exactly,
+        # so the figure is the device compute rate (docs/PERF.md)
+        from flake_tpu.ops.frame import analyze_frames
+
+        def rep(K):
+            def g(*ins):
+                acc = None
+                for i in range(K):
+                    out = analyze_frames(ins[i % 4] + (i // 4), cfg,
+                                         hdr_bits)
+                    s = jnp.sum(out["frame_bytes"])
+                    acc = s if acc is None else acc + s
+                return acc
+            return jax.jit(g)
+
         out = analyze_frames_jit(inputs[0], cfg, hdr_bits)
         total_bytes = int(jnp.sum(out["frame_bytes"]))
-        iters = 20
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            acc = None
-            for i in range(iters):
-                out = analyze_frames_jit(inputs[i % 4], cfg, hdr_bits)
-                s = jnp.sum(out["frame_bytes"])
-                acc = s if acc is None else acc + s
-            int(acc)  # single device->host sync
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return iters * F * B / best, total_bytes
+
+        def wall(g, iters=8):
+            int(g(*inputs))  # compile + warm with a real readback
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = None
+                for _ in range(iters):
+                    s = g(*inputs)
+                    acc = s if acc is None else acc + s
+                int(acc)  # single device->host sync
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return best / iters
+
+        k1, k2 = 1, 5
+        per_rep = (wall(rep(k2)) - wall(rep(k1))) / (k2 - k1)
+        return F * B / per_rep, total_bytes
 
     sps, total_bytes = measure(cfg)
     xrt = sps / 44100.0
@@ -125,17 +144,55 @@ def main() -> int:
     sps32, _ = measure(dataclasses.replace(cfg, lpc_dtype="float32"))
     xrt32 = sps32 / 44100.0
 
-    ref_xrt = ref_baseline_xrt()
-    vs_baseline = (xrt / ref_xrt) if ref_xrt else xrt / 10000.0
+    # end-to-end: WAV samples -> complete verified FLAC (device
+    # analysis + D2H + native pack + MD5 + STREAMINFO rewrite), the
+    # flake-test.sh:23-33 "speed" semantics. The tunneled D2H link in
+    # this environment (~10 MB/s) caps this figure; it is reported
+    # alongside the device-resident metric, not blended into it.
+    from flake_tpu import params as PP
+    from flake_tpu.encoder import Encoder
+    from flake_tpu.decoder import decode_stream
 
+    e2e_seconds = 30.0
+    ne = int(44100 * e2e_seconds)
+    t = np.arange(ne)
+    rng = np.random.default_rng(1)
+    sig = (12000 * np.sin(2 * np.pi * 440 * t / 44100)
+           + 800 * rng.standard_normal(ne))
+    pcm = np.stack([sig, 0.8 * sig], axis=1).astype(np.int32)
+    pcm = np.clip(pcm, -32768, 32767)
+
+    def e2e_once():
+        enc = Encoder(PP.StreamConfig(
+            params=P.set_defaults(8), channels=2, sample_rate=44100,
+            bits_per_sample=16, samples=ne))
+        t0 = time.perf_counter()
+        blob = enc.encode_stream(pcm)
+        return time.perf_counter() - t0, blob
+
+    e2e_once()                                   # warm the jit cache
+    best, blob = min((e2e_once() for _ in range(3)),
+                     key=lambda r: r[0])
+    e2e_xrt = e2e_seconds / best
+    dec = decode_stream(blob)                    # CRC+MD5-checked decode
+    verified = dec.md5_ok and np.array_equal(dec.samples, pcm)
+    assert verified, "e2e verify failed"
+
+    ref_xrt = ref_baseline_xrt()
     result = {
         "metric": "level-8 encode throughput per chip "
                   "(16-bit/44.1kHz stereo, device-resident)",
         "value": round(xrt, 1),
         "unit": "x realtime",
-        "vs_baseline": round(vs_baseline, 2),
+        # speedup over the reference C encoder on this host; when the
+        # reference binary cannot be built here the field is null and
+        # only fraction_of_target (north star = 10000x) is reported
+        "vs_baseline": round(xrt / ref_xrt, 2) if ref_xrt else None,
+        "fraction_of_target": round(xrt / 10000.0, 3),
         "samples_per_sec": round(sps),
         "xrt_float32_lpc_mode": round(xrt32, 1),
+        "e2e_xrt": round(e2e_xrt, 1),
+        "e2e_verified": bool(verified),
         "ref_c_xrt_this_host": round(ref_xrt, 1) if ref_xrt else None,
         "compressed_ratio": round(
             total_bytes / (F * B * 4), 4),

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from flake_tpu import params as P
 from flake_tpu.ops import lpc as lpc_ops
-from flake_tpu.ops import pallas_sweep, predict, stereo, wasted
+from flake_tpu.ops import pallas_autocorr, pallas_sweep, predict, stereo, \
+    wasted
 from flake_tpu.ops.rice import (
     calc_rice_params_dynamic,
     limit_max_partition_order,
@@ -59,11 +60,15 @@ class FrameConfig:
     max_partition_order: int
     precision: int = P.LPC_PRECISION
     lpc_dtype: str = "float64"
-    # autocorrelation backend: "auto" picks the double-double two-f32
-    # path (native VPU ops, ~2^-44 relative of the f64 result) whenever
-    # samples fit f32 exactly (obits <= 24) and the analysis dtype is
-    # float64; "exact" forces the emulated-f64 formulation; "dd" forces
-    # the compensated path
+    # autocorrelation backend: "auto" picks the Pallas compensated
+    # kernel on TPU (error-free f32 TwoSum accumulation in VMEM,
+    # ~2^-45 relative of the true sum — at least as accurate as the
+    # emulated-f64 path the TPU would otherwise run) whenever samples
+    # fit f32 exactly (obits <= 24) and the analysis dtype is float64,
+    # falling back to the XLA double-double formulation off-TPU;
+    # "exact" forces the emulated-f64 formulation; "dd" forces the XLA
+    # compensated path; "pallas" forces the kernel (TPU);
+    # "pallas_interp" runs the kernel in interpreter mode (CPU tests)
     autocorr_mode: str = "auto"
     # candidate-order sweep backend: "auto" = the XLA formulation (it
     # fuses the whole sweep into one HBM pass and measures faster than
@@ -224,20 +229,42 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         shift = jnp.zeros((F, C), jnp.int32)
         coefs = jnp.zeros((F, C, P.MAX_LPC_ORDER), jnp.int32)
     else:
-        # LPC path (optimize.c:192-275)
+        # LPC path (optimize.c:192-275) — computed on the flattened
+        # [N = F*C] stream batch: XLA's layout for a trailing small
+        # channel axis ([F, C, B]) measured ~4.7x slower for the
+        # autocorrelation front-end than [N, B] (docs/PERF.md); every
+        # per-(frame, channel) quantity is independent here, so the
+        # reshape is free
         min_o = cfg.min_prediction_order
         max_o = cfg.max_prediction_order
+        N = F * C
+        cN = chans.reshape(N, n)
+        obitsN = obits.reshape(N)
         window = lpc_ops.welch_window(n)
+        ac_mode = cfg.autocorr_mode
+        if ac_mode not in ("auto", "exact", "dd", "pallas",
+                           "pallas_interp"):
+            raise ValueError(f"bad autocorr_mode {ac_mode!r}")
         # mid/side adds one bit: samples fit f32 exactly iff bps+1 <= 24
-        use_dd = (cfg.autocorr_mode == "dd"
-                  or (cfg.autocorr_mode == "auto" and cfg.bps <= 23
-                      and cfg.lpc_dtype == "float64"))
-        if use_dd:
-            whi, wlo = lpc_ops.split_window_f32(window)
-            autoc = lpc_ops.autocorr_dd(chans, max_o, jnp.asarray(whi),
+        dd_ok = cfg.bps <= 23 and cfg.lpc_dtype == "float64"
+        if ac_mode == "auto":
+            if not dd_ok:
+                ac_mode = "exact"
+            elif (jax.default_backend() == "tpu"
+                  and pallas_autocorr.supports(n, max_o)):
+                ac_mode = "pallas"
+            else:
+                ac_mode = "dd"
+        whi, wlo = lpc_ops.split_window_f32(window)
+        if ac_mode in ("pallas", "pallas_interp"):
+            autoc = pallas_autocorr.autocorr_dd_pallas(
+                cN, jnp.asarray(whi), jnp.asarray(wlo), max_order=max_o,
+                interpret=ac_mode == "pallas_interp") + 2.0
+        elif ac_mode == "dd":
+            autoc = lpc_ops.autocorr_dd(cN, max_o, jnp.asarray(whi),
                                         jnp.asarray(wlo))
         else:
-            autoc = lpc_ops.autocorr(chans, max_o, jnp.asarray(window),
+            autoc = lpc_ops.autocorr(cN, max_o, jnp.asarray(window),
                                      dtype)
         autoc = autoc.astype(dtype)
         method = cfg.order_method
@@ -257,6 +284,8 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         need_bits = method not in (P.OrderMethod.MAX, P.OrderMethod.EST)
         bits_all = None
         pmax_static = limit_max_partition_order(pmax, n, 1)
+        if cfg.use_pallas not in ("auto", "force", "interp", "never"):
+            raise ValueError(f"bad use_pallas {cfg.use_pallas!r}")
         interp = cfg.use_pallas == "interp"
         kernel_ok = (
             cfg.use_pallas in ("force", "interp")
@@ -266,49 +295,33 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
             # Pallas sweep: residual + zigzag + partition limb sums for
             # every candidate order in one VMEM-resident kernel, then
             # the shared partition-order scan on the tiny sums
-            N = F * C
             lo, hi = pallas_sweep.sweep_partition_limbs(
-                chans.reshape(N, n), qcoefs.reshape(N, max_o, -1),
-                shifts.reshape(N, max_o), max_order=max_o,
+                cN, qcoefs, shifts, max_order=max_o,
                 pmax_static=pmax_static, interpret=interp)
-            G = lo.shape[-1]
             o_arr = jnp.broadcast_to(
-                jnp.arange(1, max_o + 1, dtype=jnp.int32),
-                (F, C, max_o))
+                jnp.arange(1, max_o + 1, dtype=jnp.int32), (N, max_o))
             bits_all = subframe_bits_from_limbs(
-                lo.reshape(F, C, max_o, G), hi.reshape(F, C, max_o, G),
-                n, o_arr, obits[..., None], pmin, pmax, cfg.precision,
-                True)
+                lo, hi, n, o_arr, obitsN[..., None], pmin, pmax,
+                cfg.precision, True)
         elif need_bits:
-            # candidate-order sweep, vectorised over a chunk axis: each
-            # scan step evaluates CHUNK candidate orders at once as an
-            # extra tensor dimension (residual + dynamic-order rice
-            # search broadcast over it) — the batched form of the
-            # optimize.c:224-238 search loop with VPU-friendly widths
-            CHUNK = min(6, max_o)
-            chans_b = chans[..., None, :]          # [F, C, 1, B]
-            obits_b = obits[..., None]             # [F, C, 1]
+            # candidate-order sweep as max_o independent static-order
+            # chains (the batched form of the optimize.c:224-238 search
+            # loop): each order's residual -> zigzag -> partition sums
+            # -> k scan is one fully static graph, which XLA fuses into
+            # a single HBM pass per order — measured ~2x faster than a
+            # chunked candidate-axis formulation, whose [N, CHUNK, B]
+            # intermediates were memory-bound (docs/PERF.md)
             pieces = []
-            for lo in range(0, max_o, CHUNK):
-                hi = min(lo + CHUNK, max_o)
-                ords = np.arange(lo + 1, hi + 1)
-                coef_c = qcoefs[..., jnp.asarray(ords) - 1, :]
-                shift_c = jnp.take_along_axis(
-                    shifts, jnp.broadcast_to(jnp.asarray(ords) - 1,
-                                             (F, C, hi - lo)), axis=-1)
-                o_arr = jnp.broadcast_to(
-                    jnp.asarray(ords, dtype=jnp.int32), (F, C, hi - lo))
-                # the chunk only ever uses taps < hi
-                r = predict.residual_lpc_dynamic(
-                    chans_b, coef_c, shift_c, o_arr, hi,
-                    narrow=cfg.bps <= 16)
-                pieces.append(subframe_bits_dynamic(
-                    r, n, o_arr, obits_b, pmin, pmax, cfg.precision,
-                    True))
-            bits_all = jnp.concatenate(pieces, axis=-1)  # [F, C, max_o]
+            for o in range(1, max_o + 1):
+                r = predict.residual_lpc(cN, qcoefs[:, o - 1, :],
+                                         shifts[:, o - 1], o,
+                                         narrow=cfg.bps <= 16)
+                pieces.append(subframe_bits(
+                    r, n, o, obitsN, pmin, pmax, cfg.precision, True))
+            bits_all = jnp.stack(pieces, axis=-1)  # [N, max_o]
 
         if method == P.OrderMethod.MAX:
-            order = jnp.full((F, C), max_o, jnp.int32)
+            order = jnp.full((N,), max_o, jnp.int32)
         elif method == P.OrderMethod.EST:
             order = lpc_ops.estimate_order(refs, max_o)
         elif method in (P.OrderMethod.LEVEL2, P.OrderMethod.LEVEL4,
@@ -320,7 +333,7 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
                              // levels) - 2
                 cand.append(max(o, 0))
             order = _select_order_level(
-                [bits_all[..., o] for o in cand], cand, (F, C))
+                [bits_all[..., o] for o in cand], cand, (N,))
         elif method == P.OrderMethod.SEARCH:
             order = jnp.argmin(bits_all[..., :max_o], axis=-1) \
                 .astype(jnp.int32) + 1
@@ -334,7 +347,7 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
             qcoefs, row[..., None].clip(0, max_o - 1), axis=-2)[..., 0, :]
         shift = jnp.take_along_axis(shifts, row.clip(0, max_o - 1),
                                     axis=-1)[..., 0]
-        res = predict.residual_lpc_dynamic(chans, coefs, shift, order,
+        res = predict.residual_lpc_dynamic(cN, coefs, shift, order,
                                            max_o, narrow=cfg.bps <= 16)
         rc = calc_rice_params_dynamic(res, n, order, pmin, pmax)
         sf_type = jnp.full((F, C), SF_LPC, jnp.int32)
@@ -342,6 +355,17 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
             coefs = jnp.pad(
                 coefs, [(0, 0)] * (coefs.ndim - 1)
                 + [(0, P.MAX_LPC_ORDER - coefs.shape[-1])])
+        # back to the [F, C] view the bitstream back-end expects
+        order = order.reshape(F, C)
+        coefs = coefs.reshape(F, C, P.MAX_LPC_ORDER)
+        shift = shift.reshape(F, C)
+        res = res.reshape(F, C, n)
+        rc = {
+            "porder": rc["porder"].reshape(F, C),
+            "method": rc["method"].reshape(F, C),
+            "params": rc["params"].reshape(F, C, -1),
+            "exact_rice_bits": rc["exact_rice_bits"].reshape(F, C),
+        }
 
     # -- CONSTANT override (checked first in the reference) --------------
     sf_type = jnp.where(constant, SF_CONSTANT, sf_type)

@@ -48,18 +48,34 @@ def residual_fixed(smp, order: int):
     return jnp.concatenate([smp[..., :order], res], axis=-1)
 
 
-def residual_lpc(smp, coefs, shift, order: int):
+def residual_lpc(smp, coefs, shift, order: int, narrow: bool = False):
     """Quantized-LPC residual for one static order (optimize.c:70-122).
 
     ``coefs`` int32 [..., >=order] (taps beyond order ignored), ``shift``
     int32 [...]. pred accumulates in int64 and is arithmetic-shifted
-    before subtraction, exactly like the reference."""
+    before subtraction, exactly like the reference.
+
+    ``narrow``: samples fit 17 bits signed (bps <= 16 after mid/side) —
+    the coef-limb int32 fast path of :func:`residual_lpc_dynamic`,
+    bit-exact, with the whole tap loop in native int32."""
     n = smp.shape[-1]
-    s = smp.astype(jnp.int64)
-    pred = jnp.zeros(s.shape[:-1] + (n - order,), dtype=jnp.int64)
-    for j in range(order):
-        pred = pred + coefs[..., j, None].astype(jnp.int64) \
-            * _lagged(s, j, order, n)
+    if narrow:
+        acc_lo = acc_hi = None
+        for j in range(order):
+            lag = _lagged(smp, j, order, n)
+            tap = coefs[..., j, None]
+            t_lo = (tap & 255) * lag
+            t_hi = (tap >> 8) * lag
+            acc_lo = t_lo if acc_lo is None else acc_lo + t_lo
+            acc_hi = t_hi if acc_hi is None else acc_hi + t_hi
+        pred = (acc_hi.astype(jnp.int64) << 8) + acc_lo
+        s = smp.astype(jnp.int64)
+    else:
+        s = smp.astype(jnp.int64)
+        pred = jnp.zeros(s.shape[:-1] + (n - order,), dtype=jnp.int64)
+        for j in range(order):
+            pred = pred + coefs[..., j, None].astype(jnp.int64) \
+                * _lagged(s, j, order, n)
     pred = pred >> shift[..., None].astype(jnp.int64)
     res = wrap_int32(s[..., order:] - pred)
     return jnp.concatenate([smp[..., :order], res], axis=-1)
