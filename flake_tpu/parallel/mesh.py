@@ -28,7 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
-from flake_tpu.ops.frame import FrameConfig, analyze_frames
+from flake_tpu import params as P
+from flake_tpu.ops import predict, stereo
+from flake_tpu.ops.common import chunked_sum_i64, ctz32, wrap_int32
+from flake_tpu.ops.frame import (SF_CONSTANT, SF_FIXED, SF_LPC,
+                                 SF_VERBATIM, FrameConfig,
+                                 _select_order_level, _select_order_log,
+                                 analyze_frames)
+from flake_tpu.ops import lpc as lpc_ops
+from flake_tpu.ops.rice import (_dynamic_porder_scan, _fold_pyramid,
+                                _split_partition_sums,
+                                limit_max_partition_order, zigzag_u32)
+from flake_tpu.ops.common import u32
 
 
 def make_mesh(n_devices: int | None = None, sp: int = 1,
@@ -80,6 +91,363 @@ def autocorr_sp(chans, max_order: int, window, mesh_axis: str = "sp"):
     return total + 2.0
 
 
+def sp_supported(cfg: FrameConfig, sp: int) -> bool:
+    """Whether the sequence-parallel analysis covers this config.
+
+    sp shards the in-frame sample axis; it targets the LPC configs
+    (levels >= 3, hi-res/long-block content) where the O(B) work
+    dominates. Requirements: the LPC subframe path is active, shards
+    cut on Rice-partition boundaries, and each shard is wider than the
+    LPC halo."""
+    n = cfg.block_size
+    if sp <= 1 or n % sp:
+        return False
+    if (n < 5 or cfg.prediction_type != P.Prediction.LEVINSON
+            or n <= cfg.max_prediction_order):
+        return False
+    b_l = n // sp
+    pmax_static = limit_max_partition_order(cfg.max_partition_order, n, 1)
+    psize = n >> pmax_static
+    return b_l % psize == 0 and b_l >= cfg.max_prediction_order
+
+
+def _gather_or(x, axis: str):
+    """Bitwise-OR allreduce (no native collective: gather + fold)."""
+    g = jax.lax.all_gather(x, axis)                   # [sp, ...]
+    out = g[0]
+    for i in range(1, g.shape[0]):
+        out = out | g[i]
+    return out
+
+
+def _left_halo(x, width: int, rank, axis: str):
+    """Last ``width`` samples of the left sp neighbour (zeros for the
+    stream-leading shard)."""
+    size = jax.lax.psum(1, axis)
+    halo = x[..., -width:]
+    perm = [(i, (i + 1) % size) for i in range(size)]
+    halo = jax.lax.ppermute(halo, axis, perm)
+    return jnp.where(rank == 0, jnp.zeros_like(halo), halo)
+
+
+def _decorr_mode_sp(left, right, n: int, bps: int, rank, axis: str):
+    """decorr_mode (encode.c:598-643) with the sample axis sp-sharded:
+    2-sample halo for the second-order diffs, exact int64 psum of the
+    local abs-sums — integer arithmetic, bit-identical to the dense
+    version."""
+    hl = _left_halo(left, 2, rank, axis)
+    hr = _left_halo(right, 2, rank, axis)
+    el = jnp.concatenate([hl, left], axis=-1)
+    er = jnp.concatenate([hr, right], axis=-1)
+    lt = el[..., 2:] - 2 * el[..., 1:-1] + el[..., :-2]
+    rt = er[..., 2:] - 2 * er[..., 1:-1] + er[..., :-2]
+    b_l = left.shape[-1]
+    gidx = rank * b_l + jnp.arange(b_l)
+    valid = gidx >= 2                      # global diffs start at i == 2
+    lt = jnp.where(valid, lt, 0)
+    rt = jnp.where(valid, rt, 0)
+    bb = bps + 4
+    sums_local = jnp.stack([
+        chunked_sum_i64(jnp.abs(lt), bb),
+        chunked_sum_i64(jnp.abs(rt), bb),
+        chunked_sum_i64(jnp.abs((lt + rt) >> 1), bb),
+        chunked_sum_i64(jnp.abs(lt - rt), bb)], axis=-1)
+    sums = jax.lax.psum(sums_local, axis).astype(jnp.uint64) * 2
+    from flake_tpu.ops.rice import _rice_count, find_optimal_k
+    k, _ = find_optimal_k(sums, n)
+    est = _rice_count(sums, n, k).astype(jnp.uint64)
+    score = jnp.stack([
+        est[..., 0] + est[..., 1], est[..., 0] + est[..., 3],
+        est[..., 1] + est[..., 3], est[..., 2] + est[..., 3]], axis=-1)
+    best = jnp.argmin(score, axis=-1)
+    modes = jnp.array([stereo.LEFT_RIGHT, stereo.LEFT_SIDE,
+                       stereo.RIGHT_SIDE, stereo.MID_SIDE], jnp.int32)
+    return modes[best]
+
+
+def _residual_sp(ext, cN, coefs, shift, order, max_o: int, rank,
+                 b_l: int, narrow: bool):
+    """LPC residual on an sp shard: ``ext`` carries a max_o-sample left
+    halo so every local position sees its true lag window; global
+    warm-up positions (idx < order) pass raw samples through. ``order``
+    int32 [N] (static python int also fine); coef rows have zero taps
+    beyond their order, so no per-tap masking is needed."""
+    if narrow:
+        acc_lo = acc_hi = None
+        for j in range(max_o):
+            lag = ext[..., max_o - 1 - j:max_o - 1 - j + b_l]
+            tap = coefs[..., j, None]
+            t_lo = (tap & 255) * lag
+            t_hi = (tap >> 8) * lag
+            acc_lo = t_lo if acc_lo is None else acc_lo + t_lo
+            acc_hi = t_hi if acc_hi is None else acc_hi + t_hi
+        pred = (acc_hi.astype(jnp.int64) << 8) + acc_lo
+    else:
+        pred = None
+        for j in range(max_o):
+            lag = ext[..., max_o - 1 - j:max_o - 1 - j + b_l] \
+                .astype(jnp.int64)
+            term = coefs[..., j, None].astype(jnp.int64) * lag
+            pred = term if pred is None else pred + term
+    pred = pred >> shift[..., None].astype(jnp.int64)
+    res = wrap_int32(cN.astype(jnp.int64) - pred)
+    gidx = rank * b_l + jnp.arange(b_l)
+    order_b = order[..., None] if hasattr(order, "ndim") else order
+    return jnp.where(gidx < order_b, cN, res)
+
+
+def _bits_from_gathered_sums(sums_pmax, n: int, order, obits, pmin: int,
+                             pmax: int, pmax_static: int,
+                             precision: int, want_kgrid: bool = False):
+    """Partition-order + k scan on the rank-order-gathered partition
+    sums (replicated over sp): the same shared scan as the dense path,
+    so bit counts and parameter selection are identical."""
+    sums = [None] * (pmax_static + 1)
+    sums[pmax_static] = sums_pmax.astype(jnp.uint64)
+    _fold_pyramid(sums, pmax_static)
+    batch = sums_pmax.shape[:-1]
+    return _dynamic_porder_scan(sums, n, order, pmin, pmax, pmax_static,
+                                batch, want_kgrid=want_kgrid)
+
+
+def analyze_frames_sp(samples_l, cfg: FrameConfig, hdr_bits,
+                      sp_axis: str = "sp"):
+    """Sequence-parallel batched analysis: the analyze_frames pipeline
+    with the in-frame sample axis sharded over ``sp_axis`` inside
+    shard_map (SURVEY §2.5 long-context row).
+
+    Every integer stage (stereo scores, wasted bits, residuals, Rice
+    partition sums, exact bit counts) reduces across shards exactly, so
+    parameter selection matches the dense path bit-for-bit; only the
+    autocorrelation sums float in shard order (same ~1e-12 class as the
+    dense compensated path — gated by the sp-vs-dense byte test).
+
+    samples_l int32 [F, B_l, C] (local shard of the sample axis).
+    Returns the analyze_frames dict with ``residual`` still sp-sharded
+    ([F, C, B_l] locally) and every per-frame tensor replicated.
+    """
+    n = cfg.block_size
+    C = cfg.channels
+    F = samples_l.shape[0]
+    b_l = samples_l.shape[1]
+    rank = jax.lax.axis_index(sp_axis)
+    max_o = cfg.max_prediction_order
+    min_o = cfg.min_prediction_order
+    pmin, pmax = cfg.min_partition_order, cfg.max_partition_order
+    pmax_static = limit_max_partition_order(pmax, n, 1)
+    psize = n >> pmax_static
+    parts_local = b_l // psize
+    parts_max = 1 << pmax_static
+    narrow = cfg.bps <= 16
+
+    chans = jnp.transpose(samples_l, (0, 2, 1))       # [F, C, B_l]
+    obits = jnp.full((F, C), cfg.bps, dtype=jnp.int32)
+
+    # -- stereo decorrelation (cross-shard exact sums) -------------------
+    if C == 2 and n > 32 and cfg.stereo_method == P.StereoMethod.ESTIMATE:
+        mode = _decorr_mode_sp(chans[:, 0], chans[:, 1], n, cfg.bps,
+                               rank, sp_axis)
+        ch0, ch1, extra = stereo.apply_decorr(chans[:, 0], chans[:, 1],
+                                              mode, cfg.bps)
+        chans = jnp.stack([ch0, ch1], axis=1)
+        obits = obits + extra
+    elif C == 2:
+        mode = jnp.full((F,), stereo.LEFT_RIGHT, dtype=jnp.int32)
+    else:
+        mode = jnp.full((F,), stereo.NOT_STEREO, dtype=jnp.int32)
+
+    # -- wasted bits: OR-reduce across shards ----------------------------
+    local_or = jax.lax.reduce(chans.astype(jnp.uint32), np.uint32(0),
+                              jax.lax.bitwise_or, [chans.ndim - 1])
+    ors = _gather_or(local_or, sp_axis)
+    wasted_bits = jnp.minimum(ctz32(ors), cfg.bps - 1)
+    wasted_bits = jnp.where(ors == 0, cfg.bps - 1, wasted_bits)
+    wasted_bits = jnp.where(wasted_bits == cfg.bps - 1, 0, wasted_bits) \
+        .astype(jnp.int32)
+    chans = chans >> wasted_bits[..., None]
+    obits = obits - wasted_bits
+
+    # -- constant detection (cross-shard) --------------------------------
+    firsts = jax.lax.all_gather(chans[..., 0], sp_axis)   # [sp, F, C]
+    loc_const = jnp.all(chans == firsts[0][..., None], axis=-1)
+    constant = jnp.all(jax.lax.all_gather(loc_const, sp_axis), axis=0)
+
+    # -- LPC analysis on the flattened [N, B_l] batch --------------------
+    N = F * C
+    cN = chans.reshape(N, b_l)
+    obitsN = obits.reshape(N)
+    dtype = jnp.float64 if cfg.lpc_dtype == "float64" else jnp.float32
+    window = jnp.asarray(lpc_ops.welch_window(
+        n, np.float64 if cfg.lpc_dtype == "float64" else np.float32))
+    window_l = jax.lax.dynamic_slice_in_dim(window, rank * b_l, b_l)
+    autoc = autocorr_sp(cN, max_o, window_l, sp_axis).astype(dtype)
+
+    method = cfg.order_method
+    if method == P.OrderMethod.EST:
+        refs = lpc_ops.schur_refs(autoc)
+        lpc_rows = lpc_ops.levinson_from_refs(refs)
+    else:
+        lpc_rows, refs = lpc_ops.levinson_all_orders(autoc)
+    qcoefs, shifts = lpc_ops.quantize_lpc_coefs(lpc_rows, cfg.precision)
+
+    ext = jnp.concatenate([_left_halo(cN, max_o, rank, sp_axis), cN],
+                          axis=-1)
+    gidx = rank * b_l + jnp.arange(b_l)
+
+    def partition_sums_local(res, order):
+        z32 = zigzag_u32(res)
+        order_b = order[..., None] if hasattr(order, "ndim") else order
+        z32 = jnp.where(gidx >= order_b, z32, jnp.uint32(0))
+        return z32, _split_partition_sums(z32, parts_local, psize)
+
+    need_bits = method not in (P.OrderMethod.MAX, P.OrderMethod.EST)
+    bits_all = None
+    if need_bits:
+        pieces = []
+        for o in range(1, max_o + 1):
+            r = _residual_sp(ext, cN, qcoefs[:, o - 1, :],
+                             shifts[:, o - 1], jnp.int32(o), max_o,
+                             rank, b_l, narrow)
+            _, psums = partition_sums_local(r, jnp.int32(o))
+            gathered = jax.lax.all_gather(
+                psums.astype(jnp.int64), sp_axis, axis=psums.ndim - 1,
+                tiled=True)
+            o_arr = jnp.full((N,), o, jnp.int32)
+            bits, _, meth, _, _ = _bits_from_gathered_sums(
+                gathered, n, o_arr, obitsN, pmin, pmax, pmax_static,
+                cfg.precision)
+            o64 = jnp.uint64(o)
+            overhead = o64 * obitsN.astype(jnp.uint64) + 2 \
+                + (4 + 5 + o64 * cfg.precision)
+            pieces.append(u32(bits.astype(jnp.uint64) + overhead
+                              + meth.astype(jnp.uint64) + 4))
+        bits_all = jnp.stack(pieces, axis=-1)
+
+    if method == P.OrderMethod.MAX:
+        order = jnp.full((N,), max_o, jnp.int32)
+    elif method == P.OrderMethod.EST:
+        order = lpc_ops.estimate_order(refs, max_o)
+    elif method in (P.OrderMethod.LEVEL2, P.OrderMethod.LEVEL4,
+                    P.OrderMethod.LEVEL8):
+        levels = 1 << (method - 1)
+        cand = []
+        for i in range(levels - 1, -1, -1):
+            o = min_o + (((max_o - min_o + 1) * (i + 1)) // levels) - 2
+            cand.append(max(o, 0))
+        order = _select_order_level(
+            [bits_all[..., o] for o in cand], cand, (N,))
+    elif method == P.OrderMethod.SEARCH:
+        order = jnp.argmin(bits_all[..., :max_o], axis=-1) \
+            .astype(jnp.int32) + 1
+    elif method == P.OrderMethod.LOG:
+        order = _select_order_log(bits_all, min_o, max_o)
+    else:
+        raise ValueError(f"bad order method {method}")
+
+    row = (order - 1)[..., None]
+    coefs = jnp.take_along_axis(
+        qcoefs, row[..., None].clip(0, max_o - 1), axis=-2)[..., 0, :]
+    shift = jnp.take_along_axis(shifts, row.clip(0, max_o - 1),
+                                axis=-1)[..., 0]
+    res = _residual_sp(ext, cN, coefs, shift, order, max_o, rank, b_l,
+                       narrow)
+
+    # final partition search on gathered sums + exact emitted bits
+    z32f, psums_f = partition_sums_local(res, order)
+    gathered_f = jax.lax.all_gather(
+        psums_f.astype(jnp.int64), sp_axis, axis=psums_f.ndim - 1,
+        tiled=True)
+    best_bits, best_porder, best_method, best_params, best_kgrid = \
+        _bits_from_gathered_sums(gathered_f, n, order, obitsN, pmin,
+                                 pmax, pmax_static, cfg.precision,
+                                 want_kgrid=True)
+    kgrid_local = jax.lax.dynamic_slice_in_dim(
+        best_kgrid, rank * parts_local, parts_local, axis=-1)
+    k_samp = jnp.broadcast_to(
+        kgrid_local[..., :, None], (N, parts_local, psize)) \
+        .reshape(N, b_l)
+    shifted = z32f >> k_samp.astype(jnp.uint32)
+    quotient = jax.lax.psum(
+        _split_partition_sums(shifted, 1, b_l)[..., 0].astype(jnp.int64),
+        sp_axis)
+    ovh = jax.lax.psum(
+        jnp.where(gidx >= order[..., None], 1 + k_samp, 0)
+        .sum(axis=-1, dtype=jnp.int32), sp_axis)
+    parts_dyn = (jnp.int64(1) << best_porder.astype(jnp.int64)) \
+        .astype(jnp.uint64)
+    param_bits = jnp.uint64(4) + best_method.astype(jnp.uint64)
+    exact = quotient.astype(jnp.uint64) + ovh.astype(jnp.uint64) \
+        + param_bits * parts_dyn
+    rc = {
+        "porder": best_porder.reshape(F, C),
+        "method": best_method.reshape(F, C),
+        "params": best_params.reshape(F, C, parts_max),
+        "exact_rice_bits": exact.reshape(F, C),
+    }
+
+    sf_type = jnp.full((F, C), SF_LPC, jnp.int32)
+    order = order.reshape(F, C)
+    shift = shift.reshape(F, C)
+    if coefs.shape[-1] < P.MAX_LPC_ORDER:
+        coefs = jnp.pad(coefs,
+                        [(0, 0)] * (coefs.ndim - 1)
+                        + [(0, P.MAX_LPC_ORDER - coefs.shape[-1])])
+    coefs = coefs.reshape(F, C, P.MAX_LPC_ORDER)
+    res = res.reshape(F, C, b_l)
+
+    # -- CONSTANT override + exact frame size + verbatim fallback --------
+    sf_type = jnp.where(constant, SF_CONSTANT, sf_type)
+    order = jnp.where(constant, 0, order)
+    res = jnp.where(constant[..., None], chans, res)
+
+    frame_bytes = None
+    if hdr_bits is not None:
+        ob64 = obits.astype(jnp.int64)
+        sub_hdr = 8 + jnp.where(wasted_bits > 0, wasted_bits, 0) \
+            .astype(jnp.int64)
+        exact_rice = rc["exact_rice_bits"].astype(jnp.int64)
+        o64 = order.astype(jnp.int64)
+        body = jnp.where(
+            sf_type == SF_CONSTANT, ob64,
+            jnp.where(sf_type == SF_VERBATIM, n * ob64,
+                      jnp.where(sf_type == SF_FIXED,
+                                o64 * ob64 + 6 + exact_rice,
+                                o64 * ob64 + 9 + o64 * cfg.precision
+                                + 6 + exact_rice)))
+        total_bits = hdr_bits.astype(jnp.int64) \
+            + (sub_hdr + body).sum(axis=-1)
+        frame_bytes = ((total_bits + 7) >> 3) + 2
+        vsize = P.max_frame_size(n, C, cfg.bps)
+        fb = frame_bytes > vsize
+        sf_type = jnp.where(fb[..., None], SF_VERBATIM, sf_type)
+        order = jnp.where(fb[..., None], 0, order)
+        res = jnp.where(fb[..., None, None], chans, res)
+        vb_total = hdr_bits.astype(jnp.int64) \
+            + (sub_hdr + n * ob64).sum(axis=-1)
+        frame_bytes = jnp.where(fb, ((vb_total + 7) >> 3) + 2,
+                                frame_bytes)
+
+    type_code = jnp.where(
+        sf_type == SF_FIXED, SF_FIXED + order,
+        jnp.where(sf_type == SF_LPC, SF_LPC + order - 1, sf_type))
+
+    return {
+        "ch_mode": mode,
+        "obits": obits,
+        "wasted": wasted_bits,
+        "sf_type": sf_type,
+        "type_code": type_code,
+        "order": order,
+        "coefs": coefs,
+        "shift": shift,
+        "porder": rc["porder"],
+        "method": rc["method"],
+        "rice_params": rc["params"],
+        "residual": res,                 # [F, C, B_l] — sp-sharded
+        "frame_bytes": frame_bytes,
+    }
+
+
 def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
                            mesh: Mesh):
     """Frame-sharded batched analysis under shard_map.
@@ -90,8 +458,16 @@ def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
     collective is the lax.pmax for STREAMINFO's max_frame_size.
     """
 
+    sp = mesh.shape.get("sp", 1)
+    use_sp = sp_supported(cfg, sp)
+
     def local(samples_l, hdr_l):
-        out = analyze_frames(samples_l, cfg, hdr_l)
+        if use_sp:
+            # sample axis sharded over sp: each chip does ~1/sp of the
+            # O(B) analysis work (autocorr, residuals, partition sums)
+            out = analyze_frames_sp(samples_l, cfg, hdr_l)
+        else:
+            out = analyze_frames(samples_l, cfg, hdr_l)
         fb = out["frame_bytes"]
         gmax = jax.lax.pmax(jnp.max(fb), "dp") if fb is not None else None
         gmax = jax.lax.pmax(gmax, "sp") if gmax is not None else None
@@ -102,10 +478,14 @@ def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
         "ch_mode obits wasted sf_type type_code order coefs shift "
         "porder method rice_params residual frame_bytes").split()}
     fb_spec["global_max_frame_bytes"] = PS()
+    in_samples = PS("dp")
+    if use_sp:
+        in_samples = PS("dp", "sp")          # [F, B, C]: frames x samples
+        fb_spec["residual"] = PS("dp", None, "sp")
 
     shard = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(PS("dp"), PS("dp")),
+        in_specs=(in_samples, PS("dp")),
         out_specs=fb_spec,
         check_vma=False)
     return shard(samples, hdr_bits)
@@ -115,12 +495,15 @@ def make_sharded_analyzer(cfg: FrameConfig, mesh: Mesh):
     """A reusable jitted multi-chip analysis step: places inputs with
     dp NamedShardings and runs analyze_frames_sharded. Build once per
     (cfg, mesh) and call per batch — the jit cache then hits."""
+    sp = mesh.shape.get("sp", 1)
+    sample_spec = PS("dp", "sp") if sp_supported(cfg, sp) else PS("dp")
+    in_sharding = NamedSharding(mesh, sample_spec)
     dp_sharding = NamedSharding(mesh, PS("dp"))
     step = jax.jit(functools.partial(analyze_frames_sharded, cfg=cfg,
                                      mesh=mesh))
 
     def run(samples, hdr_bits):
-        samples = jax.device_put(samples, dp_sharding)
+        samples = jax.device_put(samples, in_sharding)
         hdr_bits = jax.device_put(hdr_bits, dp_sharding)
         return step(samples, hdr_bits=hdr_bits)
 

@@ -86,3 +86,57 @@ def test_autocorr_sp_matches_dense():
         check_vma=False)
     got = np.asarray(shard(jnp.asarray(chans), jnp.asarray(window)))
     np.testing.assert_allclose(got, dense, rtol=1e-10)
+
+
+def test_sp_sharded_matches_dense_bitwise():
+    """Production sp path (analyze_frames_sp under shard_map) ==
+    dense analyze_frames on every output, including a constant frame
+    and verbatim-stress content (VERDICT r2 item 2)."""
+    from flake_tpu.parallel.mesh import make_sharded_analyzer, sp_supported
+
+    F, B = 8, 1024
+    cfg = FrameConfig.from_params(P.set_defaults(8), 2, 16, block_size=B)
+    mesh = make_mesh(8, sp=2)
+    assert sp_supported(cfg, 2)
+    samples = _frames(F, B, seed=11)
+    samples[1] = -5        # constant subframes
+    rng = np.random.default_rng(5)
+    samples[2] = rng.integers(-32768, 32768, samples[2].shape)  # noise
+    hdr = np.full((F,), 48, np.int32)
+
+    run = make_sharded_analyzer(cfg, mesh)
+    out_sp = run(samples, hdr)
+    # the sample axis must actually be sharded over sp (2 chips/frame)
+    shapes = {s.data.shape for s in out_sp["residual"].addressable_shards}
+    assert (F // 4, 2, B // 2) in shapes, shapes
+
+    dense = analyze_frames(jnp.asarray(samples), cfg, jnp.asarray(hdr))
+    for key in ("sf_type", "order", "porder", "method", "coefs",
+                "shift", "residual", "frame_bytes", "rice_params",
+                "obits", "wasted", "ch_mode", "type_code"):
+        np.testing.assert_array_equal(
+            np.asarray(out_sp[key]), np.asarray(dense[key]),
+            err_msg=f"mismatch in {key}")
+
+
+def test_sp_sharded_order_methods():
+    """sp path selection parity across the EST/LOG/LEVEL order methods
+    (they share bits_all but differ in the selection walk)."""
+    import dataclasses
+
+    F, B = 4, 1024
+    mesh = make_mesh(8, sp=2)
+    samples = _frames(F, B, seed=13)
+    hdr = np.full((F,), 48, np.int32)
+    base = FrameConfig.from_params(P.set_defaults(8), 2, 16, block_size=B)
+    from flake_tpu.parallel.mesh import make_sharded_analyzer
+    for method in (P.OrderMethod.EST, P.OrderMethod.LOG,
+                   P.OrderMethod.LEVEL4, P.OrderMethod.MAX):
+        cfg = dataclasses.replace(base, order_method=int(method))
+        out_sp = make_sharded_analyzer(cfg, mesh)(samples, hdr)
+        dense = analyze_frames(jnp.asarray(samples), cfg,
+                               jnp.asarray(hdr))
+        for key in ("order", "frame_bytes", "rice_params", "coefs"):
+            np.testing.assert_array_equal(
+                np.asarray(out_sp[key]), np.asarray(dense[key]),
+                err_msg=f"{method} mismatch in {key}")
