@@ -48,6 +48,15 @@ def _allgather(x: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x))
 
 
+def _bcast_from(x: np.ndarray, source: bool) -> np.ndarray:
+    """Broadcast ``x`` from the one rank where ``source`` is True to
+    every rank (all ranks pass the same shape/dtype)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(
+        x, is_source=source))
+
+
 def encode_stream_distributed(pcm: np.ndarray, cfg: P.StreamConfig, *,
                               mesh=None, batch_frames: int = 512,
                               lpc_dtype: str = "float64",
@@ -115,23 +124,19 @@ def _exchange_and_assemble(pcm_local, cfg, *, rank, nproc, start_sample,
     assert int(stats[:, 2].sum()) == total_samples, \
         "shard sample counts do not cover the stream"
 
-    # -- (2) body gather (padded to the global max length) ----------------
-    pad_to = int(body_lens.max())
-    buf = np.zeros(pad_to, dtype=np.uint8)
-    buf[:len(body)] = np.frombuffer(body, dtype=np.uint8)
-    bodies = _allgather(buf)                                # [nproc, pad]
-
-    # -- (3) MD5 ring: rank r folds its bytes into the chain in order ----
-    state = Md5Chain().export_state()
-    state_arr = np.frombuffer(state, dtype=np.uint8)
+    # -- (2) body exchange: one exact-size broadcast per rank ------------
+    # Each rank receives sum(body_lens) == total stream bytes — the
+    # minimum possible when every rank returns the full stream — versus
+    # the round-2 padded allgather's nproc * max(body_lens)
+    # (O(nproc^2 * max) fabric traffic). For the zero-body-traffic
+    # production path see :func:`encode_stream_to_file_distributed`.
+    bodies = []
+    own = np.frombuffer(body, dtype=np.uint8)
     for r in range(nproc):
-        if r == rank:
-            h = Md5Chain.import_state(state_arr.tobytes())
-            h.update(pcm_md5_bytes(pcm_local, cfg.bits_per_sample))
-            state_arr = np.frombuffer(h.export_state(), dtype=np.uint8)
-        # n tiny rounds: everyone adopts rank r's updated state
-        state_arr = _allgather(state_arr)[r]
-    md5 = Md5Chain.import_state(state_arr.tobytes()).digest()
+        buf = own if r == rank else np.zeros(int(body_lens[r]), np.uint8)
+        bodies.append(_bcast_from(buf, source=r == rank))
+
+    md5 = _md5_chain(pcm_local, cfg.bits_per_sample, rank, nproc)
 
     # -- (4) assembly (every rank; identical bytes) ------------------------
     head_enc = Encoder(cfg, vendor_string=vendor_string,
@@ -139,10 +144,92 @@ def _exchange_and_assemble(pcm_local, cfg, *, rank, nproc, start_sample,
     head_enc.sample_count = total_samples
     blob = bytearray(head_enc.header())
     for r in range(nproc):
-        blob += bodies[r, :body_lens[r]].tobytes()
+        blob += bodies[r].tobytes()
     si = head_enc.streaminfo()
     si.max_frame_size = max(gmax, si.max_frame_size)
     si.samples = total_samples
     si.md5sum = md5
     blob[8:8 + 34] = metadata.write_streaminfo(si)
     return bytes(blob)
+
+
+def _md5_chain(pcm_local, bps: int, rank: int, nproc: int) -> bytes:
+    """The stream MD5 as a rank-ordered chain of exportable states
+    (md5.c:281-320 is inherently sequential): nproc rounds of one
+    88-byte broadcast each; rank r folds its raw PCM bytes in round r."""
+    state_arr = np.frombuffer(Md5Chain().export_state(), dtype=np.uint8)
+    for r in range(nproc):
+        if r == rank:
+            h = Md5Chain.import_state(state_arr.tobytes())
+            h.update(pcm_md5_bytes(pcm_local, bps))
+            state_arr = np.frombuffer(h.export_state(), dtype=np.uint8)
+        state_arr = _bcast_from(state_arr, source=r == rank)
+    return Md5Chain.import_state(state_arr.tobytes()).digest()
+
+
+def encode_stream_to_file_distributed(
+        pcm: np.ndarray, cfg: P.StreamConfig, path, *, mesh=None,
+        batch_frames: int = 512, lpc_dtype: str = "float64",
+        vendor_string: str | None = None,
+        vorbis_entries: list[str] | None = None) -> int:
+    """Pod-scale output path: every rank writes its own shard's bytes
+    directly into ``path`` (a shared filesystem) at its computed offset
+    — NO frame bytes cross the fabric at all. Cross-host traffic is
+    three int64s per rank plus the 88-byte MD5 chain.
+
+    Collective; returns the final file size (every rank). Rank 0 writes
+    the header and patches STREAMINFO after the byte-count exchange.
+    """
+    import os
+
+    import jax
+
+    rank = jax.process_index()
+    nproc = jax.process_count()
+    pcm = np.asarray(pcm, dtype=np.int32).reshape(-1, cfg.channels)
+    total_samples = pcm.shape[0]
+    ranges = shard_ranges(total_samples, cfg.params.block_size, nproc)
+    lo, hi = ranges[rank]
+    pcm_local = pcm[lo:hi]
+
+    enc = Encoder(cfg, batch_frames=batch_frames, lpc_dtype=lpc_dtype,
+                  mesh=mesh)
+    bs = cfg.params.block_size
+    enc.frame_count = (lo if cfg.params.allow_vbs else lo // bs)
+    body = enc.encode(pcm_local, last=True)
+
+    head_enc = Encoder(cfg, vendor_string=vendor_string,
+                       vorbis_entries=vorbis_entries)
+    head_enc.sample_count = total_samples
+    header = head_enc.header()
+
+    stats = _allgather(np.array(
+        [len(body), enc.max_frame_size, pcm_local.shape[0]],
+        dtype=np.int64))
+    body_lens = stats[:, 0]
+    gmax = int(stats[:, 1].max())
+    assert int(stats[:, 2].sum()) == total_samples
+    offset = len(header) + int(body_lens[:rank].sum())
+    total_size = len(header) + int(body_lens.sum())
+
+    md5 = _md5_chain(pcm_local, cfg.bits_per_sample, rank, nproc)
+
+    # rank-local pwrite of this shard's span (shared filesystem)
+    fd = os.open(str(path), os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        if rank == 0:
+            os.truncate(fd, total_size)
+            si = head_enc.streaminfo()
+            si.max_frame_size = max(gmax, si.max_frame_size)
+            si.samples = total_samples
+            si.md5sum = md5
+            hdr = bytearray(header)
+            hdr[8:8 + 34] = metadata.write_streaminfo(si)
+            os.pwrite(fd, bytes(hdr), 0)
+        os.pwrite(fd, body, offset)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    # barrier so every rank returns only once the file is complete
+    _allgather(np.zeros(1, np.int32))
+    return total_size

@@ -58,6 +58,12 @@ _WORKER = textwrap.dedent("""
     blob = encode_stream_distributed(pcm, cfg, batch_frames=4)
     with open(f"{out}.rank{rank}", "wb") as f:
         f.write(blob)
+    # zero-body-traffic path: every rank pwrites its shard into the
+    # shared file at its offset
+    from flake_tpu.parallel.distributed import (
+        encode_stream_to_file_distributed)
+    encode_stream_to_file_distributed(pcm, cfg, f"{out}.file",
+                                      batch_frames=4)
 """)
 
 
@@ -90,6 +96,8 @@ def test_two_process_job_matches_single_host(tmp_path, nproc, level):
     blobs = [open(f"{out}.rank{r}", "rb").read() for r in range(nproc)]
     assert all(b == blobs[0] for b in blobs), "ranks disagree"
     assert blobs[0] == single, "distributed != single-host bytes"
+    file_blob = open(f"{out}.file", "rb").read()
+    assert file_blob == single, "to-file distributed != single-host"
 
 
 def test_launcher_spawn(tmp_path):

@@ -12,10 +12,13 @@ usage: python util/scaling_report.py [frames_per_device] [block_size]
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
@@ -74,6 +77,41 @@ def main() -> int:
         eff = fps / (base_fps * nd)
         xrt = fps * B / 44100
         print(f"{nd:7d}  {fps:8.0f}   {xrt:10.0f}   {eff:9.1%}")
+
+    # On a VIRTUAL mesh (8 "devices" = the same physical cores) linear
+    # scaling is impossible by construction; the honest host-side
+    # figure is the *sharding overhead at constant total work*: the
+    # same F frames dense on 1 device vs dp-sharded over all devices.
+    F = fpd * ndev
+    samples = rng.integers(-30000, 30000, (F, B, 2)).astype(np.int32)
+    hdr = np.full((F,), 48, np.int32)
+
+    from flake_tpu.ops.frame import analyze_frames_jit
+
+    def timeit(fn):
+        fn()
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                fn()
+            dt = (time.perf_counter() - t0) / 3
+            best = dt if best is None else min(best, dt)
+        return best
+
+    sj = jnp.asarray(samples)
+    hj = jnp.asarray(hdr)
+    t_dense = timeit(lambda: int(jnp.sum(
+        analyze_frames_jit(sj, cfg, hj)["frame_bytes"])))
+    run = make_sharded_analyzer(cfg, make_mesh(ndev))
+    t_shard = timeit(lambda: int(jnp.sum(
+        run(samples, hdr)["frame_bytes"])))
+    print(f"\nconstant-work comparison ({F} frames, {ndev} devices):")
+    print(f"  dense 1-device   {t_dense * 1e3:8.1f} ms")
+    print(f"  dp-sharded       {t_shard * 1e3:8.1f} ms")
+    print(f"  sharding overhead {100 * (t_shard / t_dense - 1):+6.1f}%  "
+          "(<= 0 means the partitioned program is no slower than the "
+          "dense one on the same silicon)")
     return 0
 
 
