@@ -98,8 +98,10 @@ struct BitWriter {
     }
 
     inline void rice(int k, int32_t val) {
-        // zigzag (bitio.h:127-129)
-        uint32_t v = static_cast<uint32_t>((val << 1) ^ (val >> 31));
+        // zigzag (bitio.h:127-129); shift in uint32 — left-shifting a
+        // negative int32 is UB pre-C++20, same bits mod 2^32 either way
+        uint32_t v = (static_cast<uint32_t>(val) << 1)
+                     ^ static_cast<uint32_t>(val >> 31);
         uint32_t q = v >> k;
         while (q >= 48) {           // long unary runs in byte chunks
             put(48, 0);

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 
 from flake_tpu import params as P
 from flake_tpu.ops import lpc as lpc_ops
-from flake_tpu.ops import pallas_autocorr, pallas_sweep, predict, stereo, \
-    wasted
+from flake_tpu.ops import pallas_autocorr, pallas_sweep, pallas_sweep3, \
+    predict, stereo, wasted
 from flake_tpu.ops.rice import (
     calc_rice_params_dynamic,
     limit_max_partition_order,
@@ -287,17 +287,25 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         if cfg.use_pallas not in ("auto", "force", "interp", "never"):
             raise ValueError(f"bad use_pallas {cfg.use_pallas!r}")
         interp = cfg.use_pallas == "interp"
+        use_v3 = pallas_sweep3.supports(n, cfg.bps, pmax_static, max_o)
         kernel_ok = (
             cfg.use_pallas in ("force", "interp")
-            and pallas_sweep.supports(n, cfg.bps, pmax_static)
+            and (use_v3 or pallas_sweep.supports(n, cfg.bps,
+                                                 pmax_static))
             and (interp or jax.default_backend() == "tpu"))
         if need_bits and kernel_ok:
             # Pallas sweep: residual + zigzag + partition limb sums for
             # every candidate order in one VMEM-resident kernel, then
-            # the shared partition-order scan on the tiny sums
-            lo, hi = pallas_sweep.sweep_partition_limbs(
-                cN, qcoefs, shifts, max_order=max_o,
-                pmax_static=pmax_static, interpret=interp)
+            # the shared partition-order scan on the tiny sums (v3:
+            # streams-along-lanes; v2 fallback for psize < 8 shapes)
+            if use_v3:
+                lo, hi = pallas_sweep3.sweep_partition_limbs3(
+                    cN, qcoefs, shifts, max_order=max_o,
+                    pmax_static=pmax_static, interpret=interp)
+            else:
+                lo, hi = pallas_sweep.sweep_partition_limbs(
+                    cN, qcoefs, shifts, max_order=max_o,
+                    pmax_static=pmax_static, interpret=interp)
             o_arr = jnp.broadcast_to(
                 jnp.arange(1, max_o + 1, dtype=jnp.int32), (N, max_o))
             bits_all = subframe_bits_from_limbs(
