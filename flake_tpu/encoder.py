@@ -284,6 +284,15 @@ class Encoder:
         out = bytearray()
         all_lengths = []
         bsz = self.batch_frames
+        # short batches (stream tails, VBS size buckets) pad to the
+        # smallest of a few fixed jit shapes instead of the full
+        # batch_frames — a 5-frame VBS bucket must not pay a 512-frame
+        # device pass. Shapes are quantized so the jit cache stays small
+        # (and, under a mesh, stay divisible by the dp axis).
+        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        allowed = sorted({b for b in
+                          (max(1, bsz // 64), max(1, bsz // 8), bsz)
+                          if b == bsz or b % dp == 0})
 
         def dispatch(start):
             """Enqueue one device batch (JAX dispatch is async — this
@@ -291,11 +300,12 @@ class Encoder:
             chunk = frames[start:start + bsz]
             cnums = nums[start:start + bsz]
             n = chunk.shape[0]
-            if n < bsz:  # pad to the jit batch shape, slice after
-                pad = np.zeros((bsz - n,) + chunk.shape[1:], np.int32)
+            shape = next(b for b in allowed if b >= n)
+            if n < shape:  # pad to the jit batch shape, slice after
+                pad = np.zeros((shape - n,) + chunk.shape[1:], np.int32)
                 chunk = np.concatenate([chunk, pad], axis=0)
                 cnums = np.concatenate(
-                    [cnums, np.zeros(bsz - n, cnums.dtype)])
+                    [cnums, np.zeros(shape - n, cnums.dtype)])
             hdr_bits = self._hdr_bits(cnums, bs_code)
             if self.mesh is not None:
                 analysis = self._analyze_sharded(chunk, cfg, hdr_bits)
