@@ -288,11 +288,17 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
             raise ValueError(f"bad use_pallas {cfg.use_pallas!r}")
         interp = cfg.use_pallas == "interp"
         use_v3 = pallas_sweep3.supports(n, cfg.bps, pmax_static, max_o)
-        kernel_ok = (
-            cfg.use_pallas in ("force", "interp")
-            and (use_v3 or pallas_sweep.supports(n, cfg.bps,
-                                                 pmax_static))
-            and (interp or jax.default_backend() == "tpu"))
+        if cfg.use_pallas == "auto":
+            # the v3 kernel is the measured default on TPU (3.24 ms vs
+            # 4.12 ms full-pipeline at level 8, docs/PERF.md) and is
+            # integer-exact, so selection is identical either way
+            kernel_ok = use_v3 and jax.default_backend() == "tpu"
+        else:
+            kernel_ok = (
+                cfg.use_pallas in ("force", "interp")
+                and (use_v3 or pallas_sweep.supports(n, cfg.bps,
+                                                     pmax_static))
+                and (interp or jax.default_backend() == "tpu"))
         if need_bits and kernel_ok:
             # Pallas sweep: residual + zigzag + partition limb sums for
             # every candidate order in one VMEM-resident kernel, then

@@ -92,8 +92,10 @@ def _sweep3_kernel(x_ref, clo_ref, chi_ref, shl_ref, shr_ref, klo_ref,
             zlo = z & i32(0xFFFF)
             zhi = (z >> i32(16)) & i32(0xFFFF)
             # partition sums: sublane-group reduction (psize % 8 == 0)
-            slo = zlo.reshape(ppc, psize, LANE).sum(axis=1)
-            shi = zhi.reshape(ppc, psize, LANE).sum(axis=1)
+            slo = zlo.reshape(ppc, psize, LANE).sum(axis=1,
+                                                    dtype=jnp.int32)
+            shi = zhi.reshape(ppc, psize, LANE).sum(axis=1,
+                                                    dtype=jnp.int32)
             out_lo_ref[o - 1, c * ppc:(c + 1) * ppc, :] = slo
             out_hi_ref[o - 1, c * ppc:(c + 1) * ppc, :] = shi
 
