@@ -59,11 +59,18 @@ class Encoder:
                  lpc_dtype: str = "float64",
                  vendor_string: str | None = None,
                  vorbis_entries: list[str] | None = None,
-                 mesh=None):
+                 mesh=None, pack_backend: str = "auto"):
         """``mesh``: optional jax.sharding.Mesh with a "dp" axis — the
         batched analysis then runs sharded over the mesh's chips
         (frames data-parallel, SURVEY §2.5) with the pmax collective
-        for STREAMINFO; output bytes are identical to single-chip."""
+        for STREAMINFO; output bytes are identical to single-chip.
+
+        ``pack_backend``: "device" emits the FLAC bytes on device
+        (ops/bitpack.py) so D2H ships ~the compressed size and the host
+        only patches CRCs; "host" ships the analysis tensors and packs
+        with the native C++ packer; "auto" (default) picks the device
+        packer whenever the config supports it (single-mesh configs
+        with <= 32-bit sample fields). Output bytes are identical."""
         import flake_tpu
         flake_tpu._enable_compile_cache_if_tpu()
         self.subset = P.validate_params(cfg)
@@ -84,13 +91,30 @@ class Encoder:
         self.batch_frames = batch_frames
         self.lpc_dtype = lpc_dtype
         self.mesh = mesh
+        if pack_backend not in ("auto", "device", "host"):
+            raise ValueError(f"bad pack_backend {pack_backend!r}")
+        self.pack_backend = pack_backend
+        if pack_backend == "device":
+            # fail at construction, not first encode
+            from flake_tpu.ops import bitpack
+            from flake_tpu.ops.frame import FrameConfig
+            if mesh is not None:
+                raise ValueError("pack_backend='device' not supported "
+                                 "with a mesh yet")
+            if not bitpack.supports(FrameConfig.from_params(
+                    cfg.params, cfg.channels, cfg.bits_per_sample)):
+                raise ValueError(
+                    "config unsupported by the device packer "
+                    "(sample field wider than 32 bits)")
         self._sharded_analyzers: dict = {}
         if mesh is not None:
-            dp = mesh.shape.get("dp", 1)
-            if batch_frames % dp:
+            # frames shard over dp — or over every chip when a config
+            # folds sp into dp (parallel/mesh.py), so require
+            # divisibility by the full mesh
+            if batch_frames % mesh.size:
                 raise ValueError(
                     f"batch_frames {batch_frames} must divide by the "
-                    f"mesh dp size {dp}")
+                    f"mesh size {mesh.size}")
         self.vendor_string = vendor_string or metadata.DEFAULT_VENDOR
 
         self.sr_code = P.samplerate_code(cfg.sample_rate)
@@ -272,14 +296,43 @@ class Encoder:
         self.frame_count += bs * F if self.params.allow_vbs else F
         return out
 
+    def _use_device_pack(self, cfg) -> bool:
+        from flake_tpu.ops import bitpack
+
+        if self.pack_backend == "host":
+            return False
+        if self.mesh is not None:
+            # sharded analysis keeps the host packer (frame slots are
+            # dp-sharded; cross-shard compaction not wired yet)
+            if self.pack_backend == "device":
+                raise ValueError("pack_backend='device' not supported "
+                                 "with a mesh yet")
+            return False
+        ok = bitpack.supports(cfg)
+        if self.pack_backend == "device" and not ok:
+            raise ValueError("config unsupported by the device packer "
+                             "(sample field wider than 32 bits)")
+        return ok
+
+    @staticmethod
+    def _pad_bucket(total: int) -> int:
+        """Quantize the compacted-stream fetch size to 256 KiB steps so
+        the compact jit cache stays small while D2H overhead stays
+        bounded."""
+        step = 1 << 18
+        return max(step, -(-total // step) * step)
+
     def _run_batches(self, frames: np.ndarray, block_size: int,
                      nums: np.ndarray) -> bytes:
         """Run device analysis in fixed-size jit batches + native pack."""
+        from flake_tpu.ops import bitpack
+
         cfg = FrameConfig.from_params(self.params, self.channels,
                                       self.bps, block_size=block_size,
                                       lpc_dtype=self.lpc_dtype)
         bs_code = P.blocksize_code(block_size)
         vsize = P.max_frame_size(block_size, self.channels, self.bps)
+        use_device = self._use_device_pack(cfg)
         F = frames.shape[0]
         out = bytearray()
         all_lengths = []
@@ -289,7 +342,7 @@ class Encoder:
         # batch_frames — a 5-frame VBS bucket must not pay a 512-frame
         # device pass. Shapes are quantized so the jit cache stays small
         # (and, under a mesh, stay divisible by the dp axis).
-        dp = self.mesh.shape.get("dp", 1) if self.mesh is not None else 1
+        dp = self.mesh.size if self.mesh is not None else 1
         allowed = sorted({b for b in
                           (max(1, bsz // 64), max(1, bsz // 8), bsz)
                           if b == bsz or b % dp == 0})
@@ -307,6 +360,15 @@ class Encoder:
                 cnums = np.concatenate(
                     [cnums, np.zeros(shape - n, cnums.dtype)])
             hdr_bits = self._hdr_bits(cnums, bs_code)
+            if use_device:
+                hdr_bytes, hdr_nb = bitpack.frame_header_bytes(
+                    cnums.astype(np.uint32), bs_code=bs_code,
+                    sr_code=self.sr_code,
+                    allow_vbs=self.params.allow_vbs)
+                packed = bitpack.analyze_and_pack_jit(
+                    jnp.asarray(chunk), cfg, jnp.asarray(hdr_bits),
+                    jnp.asarray(hdr_bytes), jnp.asarray(hdr_nb))
+                return packed, (hdr_nb, cnums, n)
             if self.mesh is not None:
                 analysis = self._analyze_sharded(chunk, cfg, hdr_bits)
             else:
@@ -314,9 +376,49 @@ class Encoder:
                                               jnp.asarray(hdr_bits))
             return analysis, cnums, n
 
+        def drain_device(item):
+            """Device-emission drain: fetch only the per-frame byte
+            counts, compact the stream on device, fetch ~the compressed
+            bytes, and patch CRCs on host."""
+            from flake_tpu.native import crc_patch
+
+            packed, (hdr_nb, cnums, n) = item
+            t0 = time.perf_counter()
+            jax.block_until_ready(packed["slots"])   # device compute
+            t_ready = time.perf_counter()
+            fb_all = np.asarray(packed["frame_bytes"])
+            tb = np.asarray(packed["total_bits"])
+            if not np.array_equal(tb[:n], fb_all[:n] * 8):
+                raise AssertionError(
+                    "device emission bit count mismatch: "
+                    f"{tb[:8]} vs {fb_all[:8] * 8}")
+            fb_pack = fb_all.astype(np.int32)
+            fb_pack[n:] = 0                          # drop pad frames
+            total = int(fb_pack.sum())
+            blob_dev = bitpack.compact_stream_jit(
+                packed["slots"], jnp.asarray(fb_pack),
+                self._pad_bucket(total))
+            buf = np.asarray(blob_dev)[:total].copy()
+            t1 = time.perf_counter()
+            lengths = fb_pack[:n].astype(np.int64)
+            crc_patch(buf, lengths, hdr_nb[:n])
+            self.max_frame_size = max(self.max_frame_size,
+                                      int(lengths.max(initial=0)))
+            out.extend(buf.tobytes())
+            all_lengths.append(lengths)
+            self.stats["frames"] += n
+            self.stats["batches"] += 1
+            self.stats["device_wait_seconds"] += t_ready - t0
+            self.stats["fetch_seconds"] += t1 - t_ready
+            self.stats["pack_seconds"] += time.perf_counter() - t1
+            self.stats["bytes_out"] += total
+
         def drain(item):
             """Fetch one finished batch and pack it on host — while the
             device already runs the next dispatched batch."""
+            if use_device:
+                drain_device(item)
+                return
             analysis, cnums, n = item
             t0 = time.perf_counter()
             pending = {k: v for k, v in analysis.items() if v is not None}

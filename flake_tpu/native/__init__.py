@@ -61,6 +61,9 @@ def get_lib() -> ctypes.CDLL:
         lib.flake_crc8.restype = ctypes.c_uint8
         lib.flake_crc16.argtypes = [u8p, ctypes.c_int64]
         lib.flake_crc16.restype = ctypes.c_uint16
+        lib.flake_crc_patch.argtypes = [u8p, ctypes.c_int64,
+                                        ctypes.c_int, i64p, i64p, i32p]
+        lib.flake_crc_patch.restype = ctypes.c_int64
         lib.flake_md5_blocks.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             u8p, ctypes.c_int64]
@@ -118,3 +121,22 @@ def pack_frames(analysis: dict, frame_nums: np.ndarray, *,
     lib.flake_stitch(out.reshape(-1), F, out_stride, lengths, offsets,
                      dest)
     return dest.tobytes(), lengths
+
+
+def crc_patch(buf: np.ndarray, lengths: np.ndarray,
+              hdr_nbytes: np.ndarray) -> None:
+    """Fill the CRC-8/CRC-16 placeholders of a device-emitted stream
+    in place. ``buf`` uint8 [total]; ``lengths`` int64 [F] per-frame
+    byte counts (frames contiguous in order); ``hdr_nbytes`` int32 [F]
+    header byte counts incl. the CRC-8 byte."""
+    lib = get_lib()
+    F = lengths.shape[0]
+    offsets = np.zeros(F, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    rc = lib.flake_crc_patch(
+        buf, buf.shape[0], F, offsets,
+        np.ascontiguousarray(lengths, dtype=np.int64),
+        np.ascontiguousarray(hdr_nbytes, dtype=np.int32))
+    if rc:
+        raise ValueError(
+            f"crc_patch: malformed frame descriptor at index {rc - 1}")

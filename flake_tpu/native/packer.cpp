@@ -356,6 +356,33 @@ void flake_md5_blocks(uint32_t* state, const uint8_t* data,
     state[0] = a0; state[1] = b0; state[2] = c0; state[3] = d0;
 }
 
+// Patch the CRC-8 (last header byte) and CRC-16 (last two frame bytes)
+// into a device-emitted stream: the device bitstream packer
+// (ops/bitpack.py) emits zero placeholders because CRCs are serial
+// byte reductions, the one stage cheaper on host. Parallel over
+// frames; each frame's bytes live at offsets[f] .. +lengths[f].
+// Returns 0, or 1 + the index of the first malformed frame descriptor.
+int64_t flake_crc_patch(uint8_t* buf, int64_t buf_len, int F,
+                        const int64_t* offsets, const int64_t* lengths,
+                        const int32_t* hdr_nbytes) {
+    for (int f = 0; f < F; f++) {
+        if (offsets[f] < 0 || lengths[f] < hdr_nbytes[f] + 2
+            || hdr_nbytes[f] < 5
+            || offsets[f] + lengths[f] > buf_len)
+            return 1 + f;
+    }
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int f = 0; f < F; f++) {
+        uint8_t* fr = buf + offsets[f];
+        const int hb = hdr_nbytes[f];
+        fr[hb - 1] = calc_crc8(fr, hb - 1);
+        const uint16_t crc = calc_crc16(fr, lengths[f] - 2);
+        fr[lengths[f] - 2] = static_cast<uint8_t>(crc >> 8);
+        fr[lengths[f] - 1] = static_cast<uint8_t>(crc & 0xFF);
+    }
+    return 0;
+}
+
 // Concatenate strided frame slots into a contiguous stream.
 void flake_stitch(const uint8_t* bufs, int F, int64_t stride,
                   const int64_t* lengths, const int64_t* offsets,

@@ -151,6 +151,115 @@ def _select_order_level(bits_list, orders, batch):
     return best_order + 1
 
 
+def select_order(cfg: FrameConfig, bits_all, refs, batch):
+    """The order-method dispatch (optimize.c:196-261) shared by the
+    dense and sequence-parallel analysis paths: MAX/EST use no bit
+    counts; LEVEL/SEARCH/LOG select from the per-order bits tensor with
+    the reference's exact tie/visit semantics.
+
+    bits_all uint [..., max_order] or None (MAX/EST); refs
+    [..., max_order] reflection coefficients (EST). Returns the chosen
+    order (1-based) int32 [batch]."""
+    method = cfg.order_method
+    min_o = cfg.min_prediction_order
+    max_o = cfg.max_prediction_order
+    if method == P.OrderMethod.MAX:
+        return jnp.full(batch, max_o, jnp.int32)
+    if method == P.OrderMethod.EST:
+        return lpc_ops.estimate_order(refs, max_o)
+    if method in (P.OrderMethod.LEVEL2, P.OrderMethod.LEVEL4,
+                  P.OrderMethod.LEVEL8):
+        levels = 1 << (method - 1)
+        cand = []
+        for i in range(levels - 1, -1, -1):
+            o = min_o + (((max_o - min_o + 1) * (i + 1)) // levels) - 2
+            cand.append(max(o, 0))
+        return _select_order_level(
+            [bits_all[..., o] for o in cand], cand, batch)
+    if method == P.OrderMethod.SEARCH:
+        return jnp.argmin(bits_all[..., :max_o], axis=-1) \
+            .astype(jnp.int32) + 1
+    if method == P.OrderMethod.LOG:
+        return _select_order_log(bits_all, min_o, max_o)
+    raise ValueError(f"bad order method {method}")
+
+
+def finalize_analysis(cfg: FrameConfig, chans, obits, wasted_bits,
+                      constant, mode, sf_type, order, coefs, shift, res,
+                      rc, hdr_bits):
+    """The selection walk shared by the dense and sequence-parallel
+    paths: CONSTANT override (checked first in the reference,
+    optimize.c:143-151), exact frame-size accounting, the device-side
+    verbatim fallback (encode.c:949-964), header type codes, and the
+    output pytree.
+
+    ``chans``/``res`` are [F, C, B] — or the local sp shard [F, C, B_l]
+    (the accounting uses only per-frame scalars, so both work); every
+    other tensor is per-frame/channel. ``rc`` must hold porder/method/
+    params (+ exact_rice_bits on the predicted paths)."""
+    F, C = sf_type.shape
+    n = cfg.block_size
+
+    # -- CONSTANT override -----------------------------------------------
+    sf_type = jnp.where(constant, SF_CONSTANT, sf_type)
+    order = jnp.where(constant, 0, order)
+    res = jnp.where(constant[..., None], chans, res)
+
+    # -- exact frame size + device-side verbatim fallback ----------------
+    frame_bytes = None
+    if hdr_bits is not None:
+        ob64 = obits.astype(jnp.int64)
+        sub_hdr = 8 + jnp.where(wasted_bits > 0, wasted_bits, 0) \
+            .astype(jnp.int64)
+        exact_rice = rc.get("exact_rice_bits",
+                            jnp.zeros((F, C), jnp.uint64)) \
+            .astype(jnp.int64)
+        o64 = order.astype(jnp.int64)
+        body = jnp.where(
+            sf_type == SF_CONSTANT, ob64,
+            jnp.where(sf_type == SF_VERBATIM, n * ob64,
+                      jnp.where(sf_type == SF_FIXED,
+                                o64 * ob64 + 6 + exact_rice,
+                                o64 * ob64 + 9 + o64 * cfg.precision
+                                + 6 + exact_rice)))
+        total_bits = hdr_bits.astype(jnp.int64) \
+            + (sub_hdr + body).sum(axis=-1)
+        frame_bytes = ((total_bits + 7) >> 3) + 2     # align + CRC-16
+
+        # verbatim re-encode when the frame exceeds the uncompressed
+        # bound; verbatim stores the decorrelated, wasted-shifted
+        # samples, exactly like reencode_residual_verbatim
+        vsize = P.max_frame_size(n, C, cfg.bps)
+        fb = frame_bytes > vsize
+        sf_type = jnp.where(fb[..., None], SF_VERBATIM, sf_type)
+        order = jnp.where(fb[..., None], 0, order)
+        res = jnp.where(fb[..., None, None], chans, res)
+        vb_total = hdr_bits.astype(jnp.int64) \
+            + (sub_hdr + n * ob64).sum(axis=-1)
+        frame_bytes = jnp.where(fb, ((vb_total + 7) >> 3) + 2,
+                                frame_bytes)
+
+    type_code = jnp.where(
+        sf_type == SF_FIXED, SF_FIXED + order,
+        jnp.where(sf_type == SF_LPC, SF_LPC + order - 1, sf_type))
+
+    return {
+        "ch_mode": mode,                 # [F]
+        "obits": obits,                  # [F, C]
+        "wasted": wasted_bits,           # [F, C]
+        "sf_type": sf_type,              # [F, C] 0/1/8/32
+        "type_code": type_code,          # [F, C] 6-bit header code
+        "order": order,                  # [F, C]
+        "coefs": coefs,                  # [F, C, 32] int32
+        "shift": shift,                  # [F, C]
+        "porder": rc["porder"],          # [F, C]
+        "method": rc["method"],          # [F, C]
+        "rice_params": rc["params"],     # [F, C, 2^pmax_static]
+        "residual": res,                 # [F, C, B] int32 (B_l under sp)
+        "frame_bytes": frame_bytes,      # [F] int64 or None
+    }
+
+
 def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
     """Analyze a batch of frames.
 
@@ -334,27 +443,7 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
                     r, n, o, obitsN, pmin, pmax, cfg.precision, True))
             bits_all = jnp.stack(pieces, axis=-1)  # [N, max_o]
 
-        if method == P.OrderMethod.MAX:
-            order = jnp.full((N,), max_o, jnp.int32)
-        elif method == P.OrderMethod.EST:
-            order = lpc_ops.estimate_order(refs, max_o)
-        elif method in (P.OrderMethod.LEVEL2, P.OrderMethod.LEVEL4,
-                        P.OrderMethod.LEVEL8):
-            levels = 1 << (method - 1)
-            cand = []
-            for i in range(levels - 1, -1, -1):
-                o = min_o + (((max_o - min_o + 1) * (i + 1))
-                             // levels) - 2
-                cand.append(max(o, 0))
-            order = _select_order_level(
-                [bits_all[..., o] for o in cand], cand, (N,))
-        elif method == P.OrderMethod.SEARCH:
-            order = jnp.argmin(bits_all[..., :max_o], axis=-1) \
-                .astype(jnp.int32) + 1
-        elif method == P.OrderMethod.LOG:
-            order = _select_order_log(bits_all, min_o, max_o)
-        else:
-            raise ValueError(f"bad order method {method}")
+        order = select_order(cfg, bits_all, refs, (N,))
 
         row = (order - 1)[..., None]
         coefs = jnp.take_along_axis(
@@ -381,64 +470,9 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
             "exact_rice_bits": rc["exact_rice_bits"].reshape(F, C),
         }
 
-    # -- CONSTANT override (checked first in the reference) --------------
-    sf_type = jnp.where(constant, SF_CONSTANT, sf_type)
-    order = jnp.where(constant, 0, order)
-    res = jnp.where(constant[..., None], chans, res)
-
-    # -- exact frame size + device-side verbatim fallback ----------------
-    frame_bytes = None
-    if hdr_bits is not None:
-        ob64 = obits.astype(jnp.int64)
-        sub_hdr = 8 + jnp.where(wasted_bits > 0, wasted_bits, 0) \
-            .astype(jnp.int64)
-        exact_rice = rc.get("exact_rice_bits",
-                            jnp.zeros((F, C), jnp.uint64)) \
-            .astype(jnp.int64)
-        o64 = order.astype(jnp.int64)
-        body = jnp.where(
-            sf_type == SF_CONSTANT, ob64,
-            jnp.where(sf_type == SF_VERBATIM, n * ob64,
-                      jnp.where(sf_type == SF_FIXED,
-                                o64 * ob64 + 6 + exact_rice,
-                                o64 * ob64 + 9 + o64 * cfg.precision
-                                + 6 + exact_rice)))
-        total_bits = hdr_bits.astype(jnp.int64) \
-            + (sub_hdr + body).sum(axis=-1)
-        frame_bytes = ((total_bits + 7) >> 3) + 2     # align + CRC-16
-
-        # verbatim re-encode when the frame exceeds the uncompressed
-        # bound (encode.c:949-964); verbatim stores the decorrelated,
-        # wasted-shifted samples, exactly like reencode_residual_verbatim
-        vsize = P.max_frame_size(n, C, cfg.bps)
-        fb = frame_bytes > vsize
-        sf_type = jnp.where(fb[..., None], SF_VERBATIM, sf_type)
-        order = jnp.where(fb[..., None], 0, order)
-        res = jnp.where(fb[..., None, None], chans, res)
-        vb_total = hdr_bits.astype(jnp.int64) \
-            + (sub_hdr + n * ob64).sum(axis=-1)
-        frame_bytes = jnp.where(fb, ((vb_total + 7) >> 3) + 2,
-                                frame_bytes)
-
-    type_code = jnp.where(
-        sf_type == SF_FIXED, SF_FIXED + order,
-        jnp.where(sf_type == SF_LPC, SF_LPC + order - 1, sf_type))
-
-    return {
-        "ch_mode": mode,                 # [F]
-        "obits": obits,                  # [F, C]
-        "wasted": wasted_bits,           # [F, C]
-        "sf_type": sf_type,              # [F, C] 0/1/8/32
-        "type_code": type_code,          # [F, C] 6-bit header code
-        "order": order,                  # [F, C]
-        "coefs": coefs,                  # [F, C, 32] int32
-        "shift": shift,                  # [F, C]
-        "porder": rc["porder"],          # [F, C]
-        "method": rc["method"],          # [F, C]
-        "rice_params": rc["params"],     # [F, C, 2^pmax_static]
-        "residual": res,                 # [F, C, B] int32
-        "frame_bytes": frame_bytes,      # [F] int64 or None
-    }
+    return finalize_analysis(cfg, chans, obits, wasted_bits, constant,
+                             mode, sf_type, order, coefs, shift, res,
+                             rc, hdr_bits)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -43,7 +43,22 @@ def _z():
 
 
 def supports(block_size: int, max_order: int) -> bool:
-    return max_order + 1 <= MAX_HALO
+    """Whether the kernel's VMEM working set fits for this shape.
+
+    The block holds ~10 live f32 [rows, W] streams (input + windowed
+    double-float pair + their splits + product temporaries), so the
+    footprint grows linearly with the padded block size; legal FLAC
+    block sizes reach 65535 (>20 MB working set), which must fall back
+    to the XLA paths instead of failing Mosaic compilation at encode
+    time. The envelope below (~6 MB at B=8192, the largest preset and
+    largest hardware-validated config — docs/RESULTS.md levels 11/12)
+    stays well under the ~16 MB/core VMEM budget."""
+    if max_order + 1 > MAX_HALO:
+        return False
+    bp = -(-block_size // LANE) * LANE
+    est = 16 * (bp + MAX_HALO) * 4 * 10 \
+        + 2 * 16 * (max_order + 1) * LANE * 4
+    return est <= 8 * 1024 * 1024
 
 
 def _two_sum(a, b):

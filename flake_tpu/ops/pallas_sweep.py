@@ -50,7 +50,11 @@ def supports(block_size: int, bps: int, pmax_static: int) -> bool:
     """Whether the kernel covers this configuration."""
     if bps > 16:
         return False
-    if block_size % 128 or block_size < 256:
+    if block_size % 128 or block_size < 256 or block_size > 8192:
+        # >8192 is beyond the hardware-validated VMEM envelope (the
+        # whole [rows=B/128, 128] block plus per-order temporaries stay
+        # VMEM-resident); legal sizes reach 65535 and must fall back to
+        # the XLA sweep rather than fail Mosaic compilation
         return False
     psize = block_size >> pmax_static
     if psize * (1 << pmax_static) != block_size:

@@ -49,7 +49,27 @@ def supports(block_size: int, bps: int, pmax_static: int,
     psize = block_size >> pmax_static
     if psize * (1 << pmax_static) != block_size:
         return False
-    return psize % 8 == 0 and psize >= 8
+    if psize % 8 != 0 or psize < 8:
+        return False
+    # VMEM envelope: the halo'd input column [halo+B, 128] i32, both
+    # output limb blocks [max_order, parts, 128], coef limbs and ~6
+    # chunk-sized temporaries must all fit the ~16 MB/core VMEM budget.
+    # Legal block sizes reach 65535 (input column alone >33 MB), which
+    # must fall back to the XLA sweep instead of failing Mosaic
+    # compilation at encode time. B=8192/order32/parts256 (~17 MB
+    # nominal, scheduled tighter by Mosaic) is hardware-validated
+    # (docs/RESULTS.md levels 11/12) and is the admitted ceiling.
+    halo = -(-max(max_order, 1) // 8) * 8
+    parts = 1 << pmax_static
+    ppc = max(1, min(parts, 1024 // psize))
+    while parts % ppc:
+        ppc -= 1
+    chunk = ppc * psize
+    est = ((halo + block_size) * LANE * 4
+           + 2 * max_order * parts * LANE * 4
+           + 2 * max_order * max_order * LANE * 4
+           + 6 * chunk * LANE * 4)
+    return est <= 18 * 1024 * 1024
 
 
 def _sweep3_kernel(x_ref, clo_ref, chi_ref, shl_ref, shr_ref, klo_ref,

@@ -153,6 +153,24 @@ def _exchange_and_assemble(pcm_local, cfg, *, rank, nproc, start_sample,
     return bytes(blob)
 
 
+def _pwrite_all(fd: int, data, offset: int) -> None:
+    """pwrite the whole buffer: POSIX permits short writes (and Linux
+    caps one write() near 2 GiB), so a pod-scale shard body must loop
+    until every byte lands at its offset."""
+    import os
+
+    view = memoryview(bytes(data) if isinstance(data, bytearray)
+                      else data)
+    written = 0
+    while written < len(view):
+        n = os.pwrite(fd, view[written:], offset + written)
+        if n <= 0:
+            raise OSError(f"pwrite returned {n} at offset "
+                          f"{offset + written}")
+        written += n
+    assert written == len(view)
+
+
 def _md5_chain(pcm_local, bps: int, rank: int, nproc: int) -> bytes:
     """The stream MD5 as a rank-ordered chain of exportable states
     (md5.c:281-320 is inherently sequential): nproc rounds of one
@@ -225,8 +243,8 @@ def encode_stream_to_file_distributed(
             si.md5sum = md5
             hdr = bytearray(header)
             hdr[8:8 + 34] = metadata.write_streaminfo(si)
-            os.pwrite(fd, bytes(hdr), 0)
-        os.pwrite(fd, body, offset)
+            _pwrite_all(fd, bytes(hdr), 0)
+        _pwrite_all(fd, body, offset)
         os.fsync(fd)
     finally:
         os.close(fd)

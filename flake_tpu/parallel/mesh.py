@@ -33,8 +33,8 @@ from flake_tpu.ops import predict, stereo
 from flake_tpu.ops.common import chunked_sum_i64, ctz32, wrap_int32
 from flake_tpu.ops.frame import (SF_CONSTANT, SF_FIXED, SF_LPC,
                                  SF_VERBATIM, FrameConfig,
-                                 _select_order_level, _select_order_log,
-                                 analyze_frames)
+                                 analyze_frames, finalize_analysis,
+                                 select_order)
 from flake_tpu.ops import lpc as lpc_ops
 from flake_tpu.ops.rice import (_dynamic_porder_scan, _fold_pyramid,
                                 _split_partition_sums,
@@ -55,14 +55,15 @@ def make_mesh(n_devices: int | None = None, sp: int = 1,
 
 
 def autocorr_sp(chans, max_order: int, window, mesh_axis: str = "sp"):
-    """Sequence-parallel windowed autocorrelation.
+    """Sequence-parallel windowed autocorrelation (plain-float path).
 
     Runs inside shard_map with the sample axis sharded over
     ``mesh_axis``: each rank computes lag products over its local
     window plus a halo of ``max_order`` samples fetched from the left
     neighbour via ppermute, then psums partial lag sums. Bitwise
     equality with the single-device version is not guaranteed (float
-    summation order) — both produce valid encodings.
+    summation order) — both produce valid encodings. Used only when the
+    compensated path below does not apply (bps > 23 / f32 mode).
 
     chans: int32 [F, C, Bs] local shard of the sample axis.
     window: float [Bs] local shard of the Welch window.
@@ -89,6 +90,55 @@ def autocorr_sp(chans, max_order: int, window, mesh_axis: str = "sp"):
     total = jax.lax.psum(partial, mesh_axis)
     # the reference's +2.0 accumulator bias (lpc.c:57-67), added once
     return total + 2.0
+
+
+def autocorr_sp_dd(chans, max_order: int, window_hi, window_lo,
+                   mesh_axis: str = "sp"):
+    """Sequence-parallel *compensated* windowed autocorrelation — the
+    same TwoProd/exact-product formulation as the dense TPU path
+    (ops/lpc.py autocorr_dd): per shard, windowed samples become exact
+    double-float pairs, every lag product is error-free, and only the
+    float64 accumulation rounds; the psum adds <=sp further f64 terms
+    in fixed rank order. This keeps the sp path's accuracy in the same
+    ~2^-50 class as the dense path (ADVICE r3: the plain-f64 sp sum sat
+    a quantization boundary away from the dense compensated result).
+
+    Cross-path bitwise equality with the dense path remains
+    content-probabilistic (different summation grouping) — what sp
+    guarantees structurally is rank-deterministic, valid, lossless
+    output; the parity tests pin fixed content.
+
+    chans int32 [F, C, Bs] (|x| < 2^24); window_{hi,lo} f32 [Bs] local
+    shards of the split window. Returns f64 [F, C, max_order+1]
+    replicated over ``mesh_axis``, incl. the reference +2.0 bias.
+    """
+    axis_size = jax.lax.psum(1, mesh_axis)
+    idx = jax.lax.axis_index(mesh_axis)
+    xf = chans.astype(jnp.float32)
+    d_hi, e = lpc_ops._two_prod(xf, window_hi)
+    d_lo = e + xf * window_lo
+
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def left(v):
+        h = jax.lax.ppermute(v[..., -max_order:], mesh_axis, perm)
+        return jnp.where(idx == 0, 0.0, h)
+
+    ext_hi = jnp.concatenate([left(d_hi), d_hi], axis=-1)
+    ext_lo = jnp.concatenate([left(d_lo), d_lo], axis=-1)
+
+    n_local = d_hi.shape[-1]
+    cols = []
+    for lag in range(max_order + 1):
+        start = max_order - lag
+        b_hi = ext_hi[..., start:start + n_local]
+        b_lo = ext_lo[..., start:start + n_local]
+        p_hi, err = lpc_ops._two_prod(d_hi, b_hi)
+        p_lo = err + (d_hi * b_lo + d_lo * b_hi)
+        cols.append(jnp.sum(p_hi.astype(jnp.float64)
+                            + p_lo.astype(jnp.float64), axis=-1))
+    partial = jnp.stack(cols, axis=-1)
+    return jax.lax.psum(partial, mesh_axis) + 2.0
 
 
 def sp_supported(cfg: FrameConfig, sp: int) -> bool:
@@ -277,10 +327,22 @@ def analyze_frames_sp(samples_l, cfg: FrameConfig, hdr_bits,
     cN = chans.reshape(N, b_l)
     obitsN = obits.reshape(N)
     dtype = jnp.float64 if cfg.lpc_dtype == "float64" else jnp.float32
-    window = jnp.asarray(lpc_ops.welch_window(
-        n, np.float64 if cfg.lpc_dtype == "float64" else np.float32))
-    window_l = jax.lax.dynamic_slice_in_dim(window, rank * b_l, b_l)
-    autoc = autocorr_sp(cN, max_o, window_l, sp_axis).astype(dtype)
+    # same backend rule as the dense path (ops/frame.py): compensated
+    # exact-product accumulation whenever samples fit f32 exactly
+    dd_ok = cfg.bps <= 23 and cfg.lpc_dtype == "float64"
+    if dd_ok:
+        whi, wlo = lpc_ops.split_window_f32(lpc_ops.welch_window(n))
+        whi_l = jax.lax.dynamic_slice_in_dim(jnp.asarray(whi),
+                                             rank * b_l, b_l)
+        wlo_l = jax.lax.dynamic_slice_in_dim(jnp.asarray(wlo),
+                                             rank * b_l, b_l)
+        autoc = autocorr_sp_dd(cN, max_o, whi_l, wlo_l, sp_axis) \
+            .astype(dtype)
+    else:
+        window = jnp.asarray(lpc_ops.welch_window(
+            n, np.float64 if cfg.lpc_dtype == "float64" else np.float32))
+        window_l = jax.lax.dynamic_slice_in_dim(window, rank * b_l, b_l)
+        autoc = autocorr_sp(cN, max_o, window_l, sp_axis).astype(dtype)
 
     method = cfg.order_method
     if method == P.OrderMethod.EST:
@@ -323,26 +385,7 @@ def analyze_frames_sp(samples_l, cfg: FrameConfig, hdr_bits,
                               + meth.astype(jnp.uint64) + 4))
         bits_all = jnp.stack(pieces, axis=-1)
 
-    if method == P.OrderMethod.MAX:
-        order = jnp.full((N,), max_o, jnp.int32)
-    elif method == P.OrderMethod.EST:
-        order = lpc_ops.estimate_order(refs, max_o)
-    elif method in (P.OrderMethod.LEVEL2, P.OrderMethod.LEVEL4,
-                    P.OrderMethod.LEVEL8):
-        levels = 1 << (method - 1)
-        cand = []
-        for i in range(levels - 1, -1, -1):
-            o = min_o + (((max_o - min_o + 1) * (i + 1)) // levels) - 2
-            cand.append(max(o, 0))
-        order = _select_order_level(
-            [bits_all[..., o] for o in cand], cand, (N,))
-    elif method == P.OrderMethod.SEARCH:
-        order = jnp.argmin(bits_all[..., :max_o], axis=-1) \
-            .astype(jnp.int32) + 1
-    elif method == P.OrderMethod.LOG:
-        order = _select_order_log(bits_all, min_o, max_o)
-    else:
-        raise ValueError(f"bad order method {method}")
+    order = select_order(cfg, bits_all, refs, (N,))
 
     row = (order - 1)[..., None]
     coefs = jnp.take_along_axis(
@@ -395,57 +438,12 @@ def analyze_frames_sp(samples_l, cfg: FrameConfig, hdr_bits,
     coefs = coefs.reshape(F, C, P.MAX_LPC_ORDER)
     res = res.reshape(F, C, b_l)
 
-    # -- CONSTANT override + exact frame size + verbatim fallback --------
-    sf_type = jnp.where(constant, SF_CONSTANT, sf_type)
-    order = jnp.where(constant, 0, order)
-    res = jnp.where(constant[..., None], chans, res)
-
-    frame_bytes = None
-    if hdr_bits is not None:
-        ob64 = obits.astype(jnp.int64)
-        sub_hdr = 8 + jnp.where(wasted_bits > 0, wasted_bits, 0) \
-            .astype(jnp.int64)
-        exact_rice = rc["exact_rice_bits"].astype(jnp.int64)
-        o64 = order.astype(jnp.int64)
-        body = jnp.where(
-            sf_type == SF_CONSTANT, ob64,
-            jnp.where(sf_type == SF_VERBATIM, n * ob64,
-                      jnp.where(sf_type == SF_FIXED,
-                                o64 * ob64 + 6 + exact_rice,
-                                o64 * ob64 + 9 + o64 * cfg.precision
-                                + 6 + exact_rice)))
-        total_bits = hdr_bits.astype(jnp.int64) \
-            + (sub_hdr + body).sum(axis=-1)
-        frame_bytes = ((total_bits + 7) >> 3) + 2
-        vsize = P.max_frame_size(n, C, cfg.bps)
-        fb = frame_bytes > vsize
-        sf_type = jnp.where(fb[..., None], SF_VERBATIM, sf_type)
-        order = jnp.where(fb[..., None], 0, order)
-        res = jnp.where(fb[..., None, None], chans, res)
-        vb_total = hdr_bits.astype(jnp.int64) \
-            + (sub_hdr + n * ob64).sum(axis=-1)
-        frame_bytes = jnp.where(fb, ((vb_total + 7) >> 3) + 2,
-                                frame_bytes)
-
-    type_code = jnp.where(
-        sf_type == SF_FIXED, SF_FIXED + order,
-        jnp.where(sf_type == SF_LPC, SF_LPC + order - 1, sf_type))
-
-    return {
-        "ch_mode": mode,
-        "obits": obits,
-        "wasted": wasted_bits,
-        "sf_type": sf_type,
-        "type_code": type_code,
-        "order": order,
-        "coefs": coefs,
-        "shift": shift,
-        "porder": rc["porder"],
-        "method": rc["method"],
-        "rice_params": rc["params"],
-        "residual": res,                 # [F, C, B_l] — sp-sharded
-        "frame_bytes": frame_bytes,
-    }
+    # shared CONSTANT override / frame-size accounting / verbatim
+    # fallback / output pytree (ops/frame.py finalize_analysis); chans
+    # and res are the local sp shards, which the accounting permits
+    return finalize_analysis(cfg, chans, obits, wasted_bits, constant,
+                             mode, sf_type, order, coefs, shift, res,
+                             rc, hdr_bits)
 
 
 def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
@@ -460,6 +458,13 @@ def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
 
     sp = mesh.shape.get("sp", 1)
     use_sp = sp_supported(cfg, sp)
+    if sp > 1 and not use_sp:
+        # configs the sp analysis does not cover (fixed-prediction
+        # levels, tiny/ragged blocks): fold the sp axis into dp so
+        # every chip still carries 1/(dp*sp) of the frames instead of
+        # sp replicas idling on identical work
+        mesh = Mesh(mesh.devices.reshape(-1), ("dp",))
+        sp = 1
 
     def local(samples_l, hdr_l):
         if use_sp:
@@ -470,7 +475,8 @@ def analyze_frames_sharded(samples, cfg: FrameConfig, hdr_bits,
             out = analyze_frames(samples_l, cfg, hdr_l)
         fb = out["frame_bytes"]
         gmax = jax.lax.pmax(jnp.max(fb), "dp") if fb is not None else None
-        gmax = jax.lax.pmax(gmax, "sp") if gmax is not None else None
+        if gmax is not None and sp > 1:
+            gmax = jax.lax.pmax(gmax, "sp")
         out["global_max_frame_bytes"] = gmax
         return out
 
@@ -496,7 +502,12 @@ def make_sharded_analyzer(cfg: FrameConfig, mesh: Mesh):
     dp NamedShardings and runs analyze_frames_sharded. Build once per
     (cfg, mesh) and call per batch — the jit cache then hits."""
     sp = mesh.shape.get("sp", 1)
-    sample_spec = PS("dp", "sp") if sp_supported(cfg, sp) else PS("dp")
+    use_sp = sp_supported(cfg, sp)
+    if sp > 1 and not use_sp:
+        # mirror the sp->dp fold in analyze_frames_sharded so the input
+        # placement matches the flattened mesh (full utilization)
+        mesh = Mesh(mesh.devices.reshape(-1), ("dp",))
+    sample_spec = PS("dp", "sp") if use_sp else PS("dp")
     in_sharding = NamedSharding(mesh, sample_spec)
     dp_sharding = NamedSharding(mesh, PS("dp"))
     step = jax.jit(functools.partial(analyze_frames_sharded, cfg=cfg,
