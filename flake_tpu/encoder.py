@@ -478,44 +478,44 @@ class Encoder:
         # each section's difference starts at its own third sample
         res = np.asarray(_vbs_section_sums(jnp.asarray(frames), sec))
 
-        layout = np.zeros((F, P.VBS_MAX_FRAMES), dtype=bool)
+        S = P.VBS_MAX_FRAMES
+        layout = np.zeros((F, S), dtype=bool)
         layout[:, 0] = True
         diff = np.abs(res[:, :-1] - res[:, 1:]) * 200 // res[:, :-1]
         layout[:, 1:] = diff > 50  # SPLIT_THRESHOLD (vbs.c:26)
 
-        # enumerate sub-frames: (superblock, start_section, n_sections)
-        subs = []   # (frame_idx, start_sample, size)
+        # sub-frame table, fully vectorized (no per-frame python walk):
+        # each marked section starts a sub-frame that runs to the next
+        # mark; next_mark via a reversed running minimum of section
+        # indices over the mark mask
+        sec_idx = np.broadcast_to(np.arange(S), (F, S))
+        marked_idx = np.where(layout, sec_idx, S)
+        nxt = np.concatenate(
+            [marked_idx[:, 1:], np.full((F, 1), S)], axis=1)
+        next_mark = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
+        nsec = np.where(layout, next_mark - sec_idx, 0)       # [F, S]
+
+        flat = layout.reshape(-1)
+        sel = np.flatnonzero(flat)            # row-major == stream order
+        f_idx = sel // S
+        s_idx = sel % S
+        starts = s_idx * sec
+        sizes_arr = nsec.reshape(-1)[sel] * sec
         base = self.frame_count
-        for f in range(F):
-            marks = np.flatnonzero(layout[f])
-            bounds = np.append(marks, P.VBS_MAX_FRAMES)
-            if len(marks) == 1:
-                subs.append((f, 0, bs))
-                continue
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                subs.append((f, int(a) * sec, int(b - a) * sec))
+        nums_arr = (base + f_idx.astype(np.int64) * bs + starts)
 
-        # frame numbers = absolute starting sample (encode.c:970-975)
-        nums, sizes = [], []
-        for f, start, size in subs:
-            nums.append(base + f * bs + start)
-            sizes.append(size)
-
-        # bucket by block size -> one jit/pack batch per size
-        sizes_arr = np.array(sizes)
-        nums_arr = np.array(nums, dtype=np.int64)
-        pieces: list[bytes | None] = [None] * len(subs)
-        for size in sorted(set(sizes)):
+        # bucket by block size -> one jit/pack batch per size; slices
+        # gathered with one fancy-index per bucket
+        pieces: list[bytes | None] = [None] * sel.size
+        for size in np.unique(sizes_arr):
             idxs = np.flatnonzero(sizes_arr == size)
-            batch = np.stack([
-                frames[subs[i][0], subs[i][1]:subs[i][1] + size]
-                for i in idxs])
-            blob, lengths = self._run_batches(batch, size,
+            take = starts[idxs, None] + np.arange(size)[None, :]
+            batch = frames[f_idx[idxs, None], take]       # [n, size, C]
+            blob, lengths = self._run_batches(batch, int(size),
                                               nums_arr[idxs])
-            off = 0
-            for i, ln in zip(idxs, lengths):
-                pieces[i] = blob[off:off + int(ln)]
-                off += int(ln)
+            bounds = np.concatenate([[0], np.cumsum(lengths)])
+            for j, i in enumerate(idxs):
+                pieces[i] = blob[bounds[j]:bounds[j + 1]]
         self.frame_count += F * bs
         return b"".join(pieces)  # type: ignore[arg-type]
 
