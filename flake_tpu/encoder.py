@@ -384,7 +384,7 @@ class Encoder:
 
             packed, (hdr_nb, cnums, n) = item
             t0 = time.perf_counter()
-            jax.block_until_ready(packed["slots"])   # device compute
+            jax.block_until_ready(packed["words"])   # device compute
             t_ready = time.perf_counter()
             fb_all = np.asarray(packed["frame_bytes"])
             tb = np.asarray(packed["total_bits"])
@@ -392,15 +392,32 @@ class Encoder:
                 raise AssertionError(
                     "device emission bit count mismatch: "
                     f"{tb[:8]} vs {fb_all[:8] * 8}")
-            fb_pack = fb_all.astype(np.int32)
+            fb_pack = fb_all.astype(np.int64)
             fb_pack[n:] = 0                          # drop pad frames
             total = int(fb_pack.sum())
-            blob_dev = bitpack.compact_stream_jit(
-                packed["slots"], jnp.asarray(fb_pack),
-                self._pad_bucket(total))
-            buf = np.asarray(blob_dev)[:total].copy()
+            total_ceil = (total + 3) & ~3
+            F_all = fb_pack.shape[0]
+            wr = packed["words"].shape[1]
+            # stream byte offsets: real frames contiguous; batch-pad
+            # frames parked 4-aligned past the end so their zeroed
+            # placement writes cannot clobber the final partial word
+            offs = np.full(F_all + 1, total_ceil, dtype=np.int32)
+            offs[0] = 0
+            offs[1:n + 1] = np.cumsum(fb_pack[:n])
+            if n < F_all:
+                # shared slot: end-of-last-real == start-of-first-pad;
+                # the 4-aligned value is safe for both (the last-word
+                # index (x-1)>>2 is unchanged)
+                offs[n] = total_ceil
+            step = 1 << 16                           # 64Ki words
+            wt = -(-(total_ceil // 4 + wr * 128) // step) * step
+            stream = bitpack.compact_words_jit(
+                packed["words"], jnp.asarray(offs), wt=wt,
+                interpret=jax.default_backend() != "tpu")
+            buf = np.asarray(stream).byteswap().view(np.uint8) \
+                [:total].copy()
             t1 = time.perf_counter()
-            lengths = fb_pack[:n].astype(np.int64)
+            lengths = fb_pack[:n]
             crc_patch(buf, lengths, hdr_nb[:n])
             self.max_frame_size = max(self.max_frame_size,
                                       int(lengths.max(initial=0)))

@@ -63,9 +63,15 @@ def supports(cfg: FrameConfig) -> bool:
 
 
 def slot_bytes(cfg: FrameConfig) -> int:
-    """Static per-frame output slot size in bytes (multiple of 4)."""
+    """Static per-frame output slot size in bytes (multiple of 512 so
+    the word view tiles as [wr, 128] int32 rows)."""
     vsize = P.max_frame_size(cfg.block_size, cfg.channels, cfg.bps)
-    return (-(-(vsize + 8) // 4)) * 4
+    return (-(-(vsize + 8) // 512)) * 512
+
+
+def word_rows(cfg: FrameConfig) -> int:
+    """Rows of the [F, wr, 128] int32 per-frame word layout."""
+    return slot_bytes(cfg) // 512
 
 
 def frame_header_bytes(nums: np.ndarray, *, bs_code, sr_code,
@@ -111,6 +117,30 @@ def frame_header_bytes(nums: np.ndarray, *, bs_code, sr_code,
     return out, nbytes
 
 
+def _exclusive_cumsum_hier(x):
+    """Exclusive prefix sum along the last axis via hierarchical
+    log-shift doubling — pure elementwise adds. jnp.cumsum's TPU
+    lowering is pathological at these shapes (~34 ms for [512, 8876]);
+    this is the same math as ~8 shifted adds plus a tiny chunk-level
+    pass. x int32 [F, M]; returns int32 [F, M]."""
+    F, M = x.shape
+    nc = -(-M // 128)
+    xp = jnp.pad(x, ((0, 0), (0, nc * 128 - M))) if nc * 128 != M else x
+    inc = xp.reshape(F, nc, 128)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        inc = inc + jnp.pad(inc[..., :-s], ((0, 0), (0, 0), (s, 0)))
+    tot = inc[..., -1]                                  # [F, nc]
+    ctot = tot
+    s = 1
+    while s < nc:
+        ctot = ctot + jnp.pad(ctot[..., :-s], ((0, 0), (s, 0)))
+        s <<= 1
+    base = ctot - tot                                   # exclusive
+    out = (inc + base[..., None]).reshape(F, nc * 128) \
+        - xp
+    return out[:, :M]
+
+
 def _batched_lower_bound(a, targets):
     """First index j with a[f, j] >= w, for every frame f and every
     target w — a broadcast binary search (sorted ``a`` along axis 1).
@@ -136,17 +166,24 @@ def _batched_lower_bound(a, targets):
 
 
 def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
-                       cfg: FrameConfig, debug: bool = False):
+                       cfg: FrameConfig, debug: bool = False,
+                       backend: str = "auto"):
     """Emit final FLAC frame bytes for a batch of analyzed frames.
 
     analysis: the analyze_frames output dict (device tensors).
     hdr_bytes uint8 [F, HDR_SLOTS] / hdr_nbytes int32 [F] from
     :func:`frame_header_bytes`.
 
-    Returns (slots uint8 [F, slot_bytes(cfg)] — each frame's bytes with
-    zeroed CRC placeholders, frame f occupying [:frame_bytes[f]];
-    total_bits int32 [F] — emitted bit count, == 8*frame_bytes when the
-    layout agrees with the analysis accounting)."""
+    backend: "kernel" = the Pallas word merge (TPU),
+    "kernel_interp" = same in interpreter mode (CPU tests),
+    "xla" = the gather/cumsum formulation (fast on CPU backends),
+    "auto" = kernel on TPU else xla.
+
+    Returns (words int32 [F, word_rows(cfg), 128] — each frame's final
+    bytes as big-endian 32-bit words with zeroed CRC placeholders
+    (byte view via :func:`words_to_slot_bytes`); total_bits int32 [F]
+    — emitted bit count, == 8*frame_bytes when the layout agrees with
+    the analysis accounting)."""
     n = cfg.block_size
     C = cfg.channels
     i32 = jnp.int32
@@ -215,16 +252,25 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
     g_idx = jnp.arange(G, dtype=i32)
     g_active = pred[..., None] & (
         (g_idx & ((i32(1) << po_shift) - 1)) == 0)
-    p_of_g = g_idx >> po_shift                     # [F, C, G]
-    k_of_g = jnp.take_along_axis(rice_k[..., :G], p_of_g, axis=-1)
+    # k per grid group, k_of_g[g] = rice_k[g >> po_shift]: built as a
+    # select over the static shift values instead of a gather (TPU
+    # gathers are scalar-unit-bound; 9 broadcast expands are free)
+    k_of_g = jnp.zeros_like(rice_k[..., :G])
+    for s in range(pmax_static + 1):
+        parts = G >> s
+        expanded = jnp.broadcast_to(
+            rice_k[..., :parts, None],
+            rice_k.shape[:-1] + (parts, 1 << s)) \
+            .reshape(rice_k.shape[:-1] + (G,))
+        k_of_g = jnp.where(po_shift == s, expanded, k_of_g)
     param_len = jnp.where(g_active, 4 + method[..., None], 0)
     param_pay = jnp.where(g_active, k_of_g.astype(u32), u32(0))
 
     jn = jnp.arange(n, dtype=i32)
-    g_of_j = jn // gs                              # [n]
-    p_of_j = g_of_j >> po_shift                    # [F, C, n]
-    k_j = jnp.take_along_axis(rice_k[..., :G], p_of_j, axis=-1) \
-        .astype(u32)
+    # per-sample k: broadcast the per-group k (k_of_g) over each group's
+    # gs samples — groups refine partitions, so no per-sample gather
+    k_j = jnp.broadcast_to(k_of_g[..., :, None], (F, C, G, gs)) \
+        .reshape(F, C, n).astype(u32)
     zig = ((i32(2) * res) ^ (res >> i32(31))).astype(u32)
     q = zig >> k_j
     # predicted frames that survive the verbatim fallback have total
@@ -295,8 +341,8 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
 
     if debug:
         return lengths, leading, payload
-    # ---- the carry-free word merge ------------------------------------
-    offsets = jnp.cumsum(lengths, axis=-1) - lengths   # exclusive
+    # ---- aligned payload parts ----------------------------------------
+    offsets = _exclusive_cumsum_hier(lengths)
     paylen = lengths - leading
     paystart = offsets + leading
     w0 = (paystart >> 5).astype(i32)
@@ -304,68 +350,135 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
 
     t = paylen + inword                            # 1..63 when active
     first = t <= 32
-    hi32 = jnp.where(first, payload << jnp.clip(32 - t, 0, 31),
-                     payload >> jnp.clip(t - 32, 0, 31))
-    lo32 = jnp.where(first, u32(0),
-                     payload << jnp.clip(64 - t, 1, 31))
+    # shifts as uint32 so nothing promotes to (TPU-emulated) int64
+    sh_hi1 = jnp.clip(32 - t, 0, 31).astype(u32)
+    sh_hi2 = jnp.clip(t - 32, 0, 31).astype(u32)
+    sh_lo = jnp.clip(64 - t, 1, 31).astype(u32)
+    hi32 = jnp.where(first, payload << sh_hi1, payload >> sh_hi2)
+    lo32 = jnp.where(first, u32(0), payload << sh_lo)
     active = paylen > 0
     hi32 = jnp.where(active, hi32, u32(0))
     lo32 = jnp.where(active, lo32, u32(0))
 
-    ex_hi = jnp.concatenate(
-        [jnp.zeros((F, 1), u32), jnp.cumsum(hi32, axis=-1)], axis=-1)
-    ex_lo = jnp.concatenate(
-        [jnp.zeros((F, 1), u32), jnp.cumsum(lo32, axis=-1)], axis=-1)
+    wr = word_rows(cfg)
+    W = wr * 128
+    if backend == "auto":
+        backend = "kernel" if jax.default_backend() == "tpu" else "xla"
+    if backend in ("kernel", "kernel_interp"):
+        # Pallas merge: slots chunked on sublanes, one-hot row windows
+        # (see ops/pallas_bitmerge.py) — XLA's gather/cumsum lowerings
+        # cost ~100x more at these shapes
+        from flake_tpu.ops import pallas_bitmerge
 
-    SB = slot_bytes(cfg)
-    W = SB // 4
-    S = _batched_lower_bound(w0, jnp.arange(W + 1, dtype=i32))
-    A = jnp.take_along_axis(ex_hi, S, axis=1)      # [F, W + 1]
-    B = jnp.take_along_axis(ex_lo, S, axis=1)
-    hi_term = A[:, 1:] - A[:, :-1]                 # slots with w0 == w
-    lo_prev = jnp.concatenate([B[:, :1], B[:, :-1]], axis=1)
-    lo_term = B - lo_prev                          # slots with w0 == w-1
-    words = hi_term + lo_term[:, :W]
+        M = lengths.shape[-1]
+        nc = -(-M // 128)
+        Mp = nc * 128
 
-    # big-endian byte view (MSB-first bitstream)
-    sh = jnp.array([24, 16, 8, 0], dtype=u32)
-    slots = ((words[..., None] >> sh) & u32(0xFF)) \
-        .astype(jnp.uint8).reshape(F, SB)
-    return slots, total_bits.astype(i32)
+        def to_chunks(x, fill):
+            if Mp != M:
+                x = jnp.pad(x, ((0, 0), (0, Mp - M)),
+                            constant_values=fill)
+            return jnp.transpose(x.reshape(F, nc, 128), (0, 2, 1))
+
+        w0t = to_chunks(w0, 0)
+        hit = to_chunks(hi32.astype(i32), 0)
+        lot = to_chunks(lo32.astype(i32), 0)
+        bit_bounds = offsets[:, ::128]                  # [F, nc]
+        chunk_bits = jnp.concatenate(
+            [bit_bounds, total_bits[:, None]], axis=-1).astype(i32)
+        words3 = pallas_bitmerge.merge_words(
+            w0t, hit, lot, chunk_bits, wr=wr,
+            interpret=backend == "kernel_interp")
+    elif backend == "xla":
+        ex_hi = jnp.concatenate(
+            [jnp.zeros((F, 1), u32), jnp.cumsum(hi32, axis=-1)],
+            axis=-1)
+        ex_lo = jnp.concatenate(
+            [jnp.zeros((F, 1), u32), jnp.cumsum(lo32, axis=-1)],
+            axis=-1)
+        S = _batched_lower_bound(w0, jnp.arange(W + 1, dtype=i32))
+        A = jnp.take_along_axis(ex_hi, S, axis=1)   # [F, W + 1]
+        B = jnp.take_along_axis(ex_lo, S, axis=1)
+        hi_term = A[:, 1:] - A[:, :-1]              # slots with w0 == w
+        lo_prev = jnp.concatenate([B[:, :1], B[:, :-1]], axis=1)
+        lo_term = B - lo_prev                       # w0 == w - 1
+        words3 = (hi_term + lo_term[:, :W]).astype(i32) \
+            .reshape(F, wr, 128)
+    else:
+        raise ValueError(f"bad merge backend {backend!r}")
+    return words3, total_bits.astype(i32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def words_to_slot_bytes(words3):
+    """Big-endian byte view of per-frame word blocks (MSB-first
+    bitstream): [F, wr, 128] int32 -> uint8 [F, wr*512]."""
+    F, wr, _ = words3.shape
+    u32v = words3.astype(jnp.uint32)
+    sh = jnp.array([24, 16, 8, 0], dtype=jnp.uint32)
+    return ((u32v[..., None] >> sh) & jnp.uint32(0xFF)) \
+        .astype(jnp.uint8).reshape(F, wr * 512)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
 def analyze_and_pack_jit(samples, cfg: FrameConfig, hdr_bits, hdr_bytes,
-                         hdr_nbytes):
+                         hdr_nbytes, backend: str = "auto"):
     """One fused dispatch: batched analysis + device bitstream emission.
 
-    Returns {slots, total_bits, frame_bytes} — the full analysis dict
+    Returns {words, total_bits, frame_bytes} — the full analysis dict
     never leaves the device."""
     from flake_tpu.ops.frame import analyze_frames
 
     analysis = analyze_frames(samples, cfg, hdr_bits)
-    slots, total_bits = pack_frames_device(analysis, hdr_bytes,
-                                           hdr_nbytes, cfg)
-    return {"slots": slots, "total_bits": total_bits,
+    words, total_bits = pack_frames_device(analysis, hdr_bytes,
+                                           hdr_nbytes, cfg,
+                                           backend=backend)
+    return {"words": words, "total_bits": total_bits,
             "frame_bytes": analysis["frame_bytes"]}
 
 
-@functools.partial(jax.jit, static_argnames=("total_pad",))
-def compact_stream_jit(slots, frame_bytes, total_pad: int):
-    """Concatenate per-frame byte slots into one contiguous stream on
+@functools.partial(jax.jit, static_argnames=("wt", "interpret"))
+def compact_words_jit(words3, offsets, *, wt: int,
+                      interpret: bool = False):
+    """Concatenate per-frame word blocks into the final stream words on
     device, so D2H ships ~exactly the compressed bytes.
 
-    slots uint8 [F, SB]; frame_bytes int [F]. total_pad: static output
-    size >= sum(frame_bytes) (callers quantize it to keep the jit cache
-    small and slice the real prefix after fetch)."""
-    F, SB = slots.shape
-    fb = frame_bytes.astype(jnp.int32)
-    offs = jnp.cumsum(fb) - fb                       # [F] exclusive
-    pos = jnp.arange(total_pad, dtype=jnp.int32)
-    fidx = jnp.clip(
-        jnp.searchsorted(offs + fb, pos, side="right"), 0, F - 1)
-    inoff = pos - offs[fidx]
-    valid = inoff < fb[fidx]
-    inoff = jnp.clip(inoff, 0, SB - 1)
-    out = slots[fidx, inoff]
-    return jnp.where(valid, out, 0).astype(jnp.uint8)
+    words3 int32 [F, wr, 128] from :func:`pack_frames_device`;
+    offsets int32 [F + 1] stream byte offsets (host-computed: real
+    frames contiguous; padding frames all at 4-aligned total so their
+    zeroed writes land past the stream; offsets[F] = that padded end).
+    wt: static output size in WORDS >= offsets[F]//4 + wr*128 slack.
+    Returns int32 [wt] big-endian stream words (host: byteswap +
+    slice to the true byte total)."""
+    from flake_tpu.ops import pallas_bitmerge
+
+    F, wr, _ = words3.shape
+    n = wr * 128
+    i32 = jnp.int32
+    flat = words3.reshape(F, n)
+    off = offsets[:-1]
+    # zero frames that carry no bytes (batch padding) so their
+    # placement DMA writes zeros past the stream end
+    nbytes = offsets[1:] - off
+    live = nbytes > 0
+    flat = jnp.where(live[:, None], flat, 0)
+
+    # pre-shift each frame's words to its stream bit position
+    sh = ((off & 3) * 8)[:, None].astype(i32)       # [F, 1]
+    prev = jnp.pad(flat[:, :-1], ((0, 0), (1, 0)))
+    carry = jnp.where(sh == 0, 0, prev << ((32 - sh) & 31))
+    shifted = jnp.where(
+        sh == 0, flat,
+        jax.lax.shift_right_logical(flat, sh) | carry)
+
+    # boundary word shared with the predecessor: pre-OR its last word
+    # (the placement DMA of frame f overwrites it afterwards)
+    lw_idx = jnp.clip(((offsets[1:] - 1) >> 2) - (off >> 2), 0, n - 1)
+    last_word = jnp.take_along_axis(shifted, lw_idx[:, None],
+                                    axis=1)[:, 0]
+    prev_last = jnp.pad(last_word[:-1], (1, 0))
+    share = ((off & 3) != 0) & live
+    fix = jnp.where(share, prev_last, 0)
+    shifted = shifted.at[:, 0].set(shifted[:, 0] | fix)
+
+    return pallas_bitmerge.compact_stream(shifted, offsets, wt=wt,
+                                          interpret=interpret)

@@ -1,0 +1,158 @@
+"""Pallas TPU kernels for bitstream word-merge and stream compaction.
+
+The XLA formulation of the device bitstream merge (ops/bitpack.py) is
+algorithmically right but lands on this TPU's two pathological
+primitives — per-element gathers (~21 ns/elem) and minor-axis cumsum —
+costing ~350 ms per 512-frame batch. These kernels re-express the same
+math with only operations the VPU does natively:
+
+merge kernel (grid over frames, sequential):
+  Slot payloads arrive pre-aligned from XLA as (word w0, hi, lo) —
+  hi OR-ed into word w0, lo into w0+1, with disjoint bit extents so
+  ADD == OR. Slots are processed in 128-slot chunks laid out on
+  SUBLANES; for each 128-word output row the chunk overlaps, a
+  broadcast compare (rel == lane-iota) one-hots every slot against the
+  row's 128 word lanes and a sublane reduction sums the contributions
+  — no gather, no scatter, no cross-lane shuffle. The row index is a
+  scalar, so the read-modify-write into the frame's VMEM-resident word
+  block is a dynamic-sublane slice (supported). Leading Rice zeros
+  cost nothing (they only advance w0).
+
+compact kernel (grid over frames, sequential):
+  Concatenates per-frame word blocks into the final byte stream at
+  arbitrary byte offsets with one placement DMA per frame — dynamic
+  element offsets are address arithmetic for the DMA engine, not lane
+  ops. All the math (bit-shifting each frame's words to its stream
+  position, pre-ORing the boundary word shared with the predecessor,
+  zeroing batch-padding frames) happens elementwise in XLA
+  (ops/bitpack.py compact_words_jit); later frames overwrite their
+  predecessors' zero-padded tails because the grid runs in offset
+  order.
+
+Chunk bit boundaries come from XLA as an SMEM table; the per-slot
+offsets themselves are computed in XLA with a hierarchical log-shift
+prefix (elementwise adds — the jnp.cumsum lowering is what's slow, not
+the math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _z():
+    return jnp.int32(0)
+
+
+def _merge_kernel(w0t_ref, hit_ref, lot_ref, cb_ref, out_ref, *,
+                  nc: int, wr: int):
+    i32 = jnp.int32
+    out_ref[0] = jnp.zeros((wr, LANE), i32)
+    iota = jax.lax.broadcasted_iota(i32, (LANE, LANE), 1)
+
+    for c in range(nc):
+        wcol = w0t_ref[0, :, c:c + 1]              # [128, 1] abs word
+        hcol = hit_ref[0, :, c:c + 1]              # [128, 1]
+        lcol = lot_ref[0, :, c:c + 1]
+        base_bit = cb_ref[0, c]
+        end_bit = cb_ref[0, c + 1]
+        row0 = base_bit >> i32(12)                 # bit -> word -> row
+        # last word any payload of this chunk can touch is the lo
+        # spill of a payload ending at end_bit
+        last_row = (((end_bit - 1) >> i32(5)) + 1) >> i32(7)
+        last_row = jnp.maximum(last_row, row0)
+
+        def body(row, _):
+            rel = wcol - row * LANE                # [128, 1]
+            whi = jnp.where(rel == iota, hcol, 0)  # [128, 128]
+            wlo = jnp.where(rel + 1 == iota, lcol, 0)
+            win = jnp.sum(whi + wlo, axis=0, keepdims=True)  # [1, 128]
+            cur = out_ref[0, pl.ds(row, 1), :]
+            out_ref[0, pl.ds(row, 1), :] = cur + win
+            return 0
+
+        jax.lax.fori_loop(row0, last_row + 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("wr", "interpret"))
+def merge_words(w0t, hit, lot, chunk_bits, *, wr: int,
+                interpret: bool = False):
+    """Merge aligned slot payloads into per-frame 32-bit word blocks.
+
+    w0t/hit/lot int32 [F, 128, nc]: slot-in-chunk on the second axis
+    (sublanes), chunk on the last; chunk_bits int32 [F, nc + 1]: bit
+    cursor at each chunk boundary (last entry = total frame bits).
+    Returns int32 [F, wr, 128]; word w of frame f is [f, w >> 7,
+    w & 127] (big-endian bit order within the word).
+    """
+    F, _, nc = w0t.shape
+    kernel = functools.partial(_merge_kernel, nc=nc, wr=wr)
+    return pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, LANE, nc), lambda i: (i, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE, nc), lambda i: (i, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE, nc), lambda i: (i, _z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc + 1), lambda i: (i, _z()),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wr, LANE), lambda i: (i, _z(), _z()),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((F, wr, LANE), jnp.int32),
+        interpret=interpret,
+    )(w0t, hit, lot, chunk_bits)
+
+
+def _compact_kernel(off_ref, words_ref, out_ref, sem, *, n: int):
+    """Place one frame's pre-shifted words at its stream position —
+    a single HBM->HBM DMA at a dynamic element offset (address
+    arithmetic, not a lane op). The grid is sequential and offsets
+    ascend, so later frames overwrite predecessors' zero-padded tails;
+    the shared boundary word was pre-ORed in XLA.
+
+    off_ref SMEM [F + 1]: stream BYTE offsets (4-aligned for padding
+    frames); words_ref ANY [F, n]; out_ref ANY [wt]."""
+    f = pl.program_id(0)
+    ow0 = off_ref[f] >> jnp.int32(2)
+    cp = pltpu.make_async_copy(words_ref.at[f],
+                               out_ref.at[pl.ds(ow0, n)], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "interpret"))
+def compact_stream(shifted, offsets, *, wt: int,
+                   interpret: bool = False):
+    """Concatenate per-frame (pre-shifted) word rows into one stream
+    word buffer.
+
+    shifted int32 [F, n]: each frame's words already aligned to its
+    stream bit position (XLA side: >> 8*(offset&3) with cross-word
+    carry, boundary word pre-ORed, padding frames zeroed).
+    offsets int32 [F + 1] byte offsets. wt: static output words,
+    >= ceil(total/4) + n slack. Returns int32 [wt]."""
+    F, n = shifted.shape
+    kernel = functools.partial(_compact_kernel, n=n)
+    return pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((wt,), jnp.int32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(offsets, shifted)
