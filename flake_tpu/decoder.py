@@ -24,6 +24,27 @@ class FlacDecodeError(Exception):
     pass
 
 
+# Native inner-loop helpers (Rice residual read + predictor
+# recurrence): a separate shared object written from the format spec,
+# independent of the encoder runtime. Set False to force the
+# pure-Python loops (cross-checked in tests).
+USE_NATIVE = True
+_native_lib: object = None
+
+
+def _get_native():
+    global _native_lib
+    if not USE_NATIVE:
+        return None
+    if _native_lib is None:
+        try:
+            from flake_tpu.native import get_verifier
+            _native_lib = get_verifier()
+        except Exception:
+            _native_lib = False
+    return _native_lib or None
+
+
 class BitReader:
     """MSB-first bit reader over a bytes object."""
 
@@ -153,8 +174,18 @@ def _decode_subframe(br: BitReader, n: int, obits: int) -> np.ndarray:
         v = br.read_signed(obits)
         out = np.full(n, v, dtype=np.int64)
     elif type_code == 1:  # VERBATIM
-        out = np.array([br.read_signed(obits) for _ in range(n)],
-                       dtype=np.int64)
+        lib = _get_native()
+        if lib is not None:
+            out = np.empty(n, dtype=np.int64)
+            data = np.frombuffer(br.data, dtype=np.uint8)
+            rc = lib.flake_verify_raw(data, len(br.data) * 8, br.pos,
+                                      n, obits, out)
+            if rc < 0:
+                raise FlacDecodeError("bitstream truncated")
+            br.pos = int(rc)
+        else:
+            out = np.array([br.read_signed(obits) for _ in range(n)],
+                           dtype=np.int64)
     elif 8 <= type_code <= 12:  # FIXED, order 0-4
         order = type_code - 8
         out = _decode_predicted(br, n, obits, order, FIXED_COEFS[order],
@@ -212,6 +243,25 @@ def _decode_predicted(br: BitReader, n, obits, order, coefs, shift,
                       warmup=None) -> np.ndarray:
     if warmup is None:
         warmup = [br.read_signed(obits) for _ in range(order)]
+    lib = _get_native()
+    if lib is not None:
+        out = np.empty(n, dtype=np.int64)
+        out[:order] = warmup
+        carr = np.ascontiguousarray(coefs, dtype=np.int32)
+        if carr.size < max(order, 1):
+            carr = np.pad(carr, (0, max(order, 1) - carr.size))
+        data = np.frombuffer(br.data, dtype=np.uint8)
+        rc = lib.flake_verify_subframe(data, len(br.data) * 8, br.pos,
+                                       n, order, carr, shift, out)
+        if rc == -1:
+            raise FlacDecodeError("reserved residual coding method")
+        if rc == -2:
+            raise FlacDecodeError(
+                "partition order does not divide block size")
+        if rc < 0:
+            raise FlacDecodeError("bitstream truncated")
+        br.pos = int(rc)
+        return out
     res = _read_residual(br, n, order)
     out = np.empty(n, dtype=np.int64)
     out[:order] = warmup

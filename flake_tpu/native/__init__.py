@@ -20,15 +20,57 @@ import numpy as np
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "packer.cpp"
 _LIB = _DIR / "_flake_native.so"
+_VSRC = _DIR / "verifier.cpp"
+_VLIB = _DIR / "_flake_verifier.so"
 _lock = threading.Lock()
 _lib = None
+_vlib = None
 
 
-def _build() -> None:
+def _build(src: pathlib.Path = _SRC, out: pathlib.Path = _LIB) -> None:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-           "-march=native", str(_SRC), "-o", str(_LIB) + ".tmp"]
+           "-march=native", str(src), "-o", str(out) + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(str(_LIB) + ".tmp", _LIB)
+    os.replace(str(out) + ".tmp", out)
+
+
+def get_verifier() -> ctypes.CDLL:
+    """Load (building if stale) the verification-decoder helper — a
+    separate shared object from the encoder runtime so the decoder
+    stays an independent oracle."""
+    global _vlib
+    with _lock:
+        if _vlib is not None:
+            return _vlib
+        _ensure_built(_VSRC, _VLIB)
+        lib = ctypes.CDLL(str(_VLIB))
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.flake_verify_subframe.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, i32p, ctypes.c_int32, i64p]
+        lib.flake_verify_subframe.restype = ctypes.c_int64
+        lib.flake_verify_raw.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, i64p]
+        lib.flake_verify_raw.restype = ctypes.c_int64
+        _vlib = lib
+        return lib
+
+
+def _ensure_built(src: pathlib.Path, out: pathlib.Path) -> None:
+    """Build ``out`` from ``src`` if missing or stale. A stale rebuild
+    failure (e.g. read-only site-packages or no toolchain) falls back
+    to the packaged library; only a missing library is fatal."""
+    if not out.exists():
+        _build(src, out)
+        return
+    if out.stat().st_mtime < src.stat().st_mtime:
+        try:
+            _build(src, out)
+        except Exception:
+            pass  # use the packaged (pre-built) library
 
 
 def get_lib() -> ctypes.CDLL:
@@ -37,8 +79,7 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
+        _ensure_built(_SRC, _LIB)
         lib = ctypes.CDLL(str(_LIB))
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -51,9 +51,10 @@ def _z():
     return jnp.int32(0)
 
 
-def _merge_kernel(w0t_ref, hit_ref, lot_ref, cb_ref, out_ref, *,
+def _merge_kernel(cb_ref, w0t_ref, hit_ref, lot_ref, out_ref, *,
                   nc: int, wr: int):
     i32 = jnp.int32
+    f = pl.program_id(0)
     out_ref[0] = jnp.zeros((wr, LANE), i32)
     iota = jax.lax.broadcasted_iota(i32, (LANE, LANE), 1)
 
@@ -61,8 +62,8 @@ def _merge_kernel(w0t_ref, hit_ref, lot_ref, cb_ref, out_ref, *,
         wcol = w0t_ref[0, :, c:c + 1]              # [128, 1] abs word
         hcol = hit_ref[0, :, c:c + 1]              # [128, 1]
         lcol = lot_ref[0, :, c:c + 1]
-        base_bit = cb_ref[0, c]
-        end_bit = cb_ref[0, c + 1]
+        base_bit = cb_ref[f, c]
+        end_bit = cb_ref[f, c + 1]
         row0 = base_bit >> i32(12)                 # bit -> word -> row
         # last word any payload of this chunk can touch is the lo
         # spill of a payload ending at end_bit
@@ -94,24 +95,23 @@ def merge_words(w0t, hit, lot, chunk_bits, *, wr: int,
     """
     F, _, nc = w0t.shape
     kernel = functools.partial(_merge_kernel, nc=nc, wr=wr)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # chunk_bits rides SMEM whole
         grid=(F,),
         in_specs=[
-            pl.BlockSpec((1, LANE, nc), lambda i: (i, _z(), _z()),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE, nc), lambda i: (i, _z(), _z()),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE, nc), lambda i: (i, _z(), _z()),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc + 1), lambda i: (i, _z()),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANE, nc), lambda i, cb: (i, _z(), _z())),
+            pl.BlockSpec((1, LANE, nc), lambda i, cb: (i, _z(), _z())),
+            pl.BlockSpec((1, LANE, nc), lambda i, cb: (i, _z(), _z())),
         ],
-        out_specs=pl.BlockSpec((1, wr, LANE), lambda i: (i, _z(), _z()),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, wr, LANE),
+                               lambda i, cb: (i, _z(), _z())),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, wr, LANE), jnp.int32),
         interpret=interpret,
-    )(w0t, hit, lot, chunk_bits)
+    )(chunk_bits, w0t, hit, lot)
 
 
 def _compact_kernel(off_ref, words_ref, out_ref, sem, *, n: int):
