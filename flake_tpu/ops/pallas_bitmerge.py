@@ -70,16 +70,28 @@ def _merge_kernel(cb_ref, w0t_ref, hit_ref, lot_ref, out_ref, *,
         last_row = (((end_bit - 1) >> i32(5)) + 1) >> i32(7)
         last_row = jnp.maximum(last_row, row0)
 
-        def body(row, _):
+        zero = jnp.zeros((LANE, LANE), i32)
+
+        def body(row, carry):
             rel = wcol - row * LANE                # [128, 1]
-            whi = jnp.where(rel == iota, hcol, 0)  # [128, 128]
-            wlo = jnp.where(rel + 1 == iota, lcol, 0)
-            win = jnp.sum(whi + wlo, axis=0, keepdims=True)  # [1, 128]
+            # explicit typed zeros: a weak python 0 in jnp.where under
+            # x64 promotes via int64 and trips a runaway weak-type
+            # conversion recursion while tracing inside fori_loop
+            whi = jnp.where(rel == iota, jnp.broadcast_to(hcol,
+                                                          (LANE, LANE)),
+                            zero)                  # [128, 128]
+            wlo = jnp.where(rel + 1 == iota,
+                            jnp.broadcast_to(lcol, (LANE, LANE)), zero)
+            # dtype pinned: under x64 jnp.sum(int32) promotes to int64
+            # (numpy platform-int semantics), which Mosaic cannot lower
+            win = jnp.sum(whi + wlo, axis=0, keepdims=True,
+                          dtype=jnp.int32)                   # [1, 128]
             cur = out_ref[0, pl.ds(row, 1), :]
             out_ref[0, pl.ds(row, 1), :] = cur + win
-            return 0
+            return carry
 
-        jax.lax.fori_loop(row0, last_row + 1, body, 0)
+        # carry pinned i32: a weak python 0 becomes int64 under x64
+        jax.lax.fori_loop(row0, last_row + 1, body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("wr", "interpret"))

@@ -38,9 +38,9 @@ def _tone(n, ch, amp, seed=0, bps=16):
     return np.clip(np.stack(chans, axis=1), -lim, lim).astype(np.int32)
 
 
-@pytest.mark.parametrize("level", [0, 1, 2, 3, 5, 8, 11, 12])
+@pytest.mark.parametrize("level", [0, 2, 5, 8, 11])
 def test_device_pack_levels_identical(level):
-    n = 3 * 4608 + 1111
+    n = 2 * 4608 + 1111
     pcm = _tone(n, 2, 9000, seed=level)
     cfg = P.StreamConfig(channels=2, sample_rate=44100,
                          bits_per_sample=16, samples=n,
