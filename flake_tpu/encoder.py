@@ -314,14 +314,6 @@ class Encoder:
                              "(sample field wider than 32 bits)")
         return ok
 
-    @staticmethod
-    def _pad_bucket(total: int) -> int:
-        """Quantize the compacted-stream fetch size to 256 KiB steps so
-        the compact jit cache stays small while D2H overhead stays
-        bounded."""
-        step = 1 << 18
-        return max(step, -(-total // step) * step)
-
     def _run_batches(self, frames: np.ndarray, block_size: int,
                      nums: np.ndarray) -> bytes:
         """Run device analysis in fixed-size jit batches + native pack."""
@@ -395,28 +387,34 @@ class Encoder:
             fb_pack = fb_all.astype(np.int64)
             fb_pack[n:] = 0                          # drop pad frames
             total = int(fb_pack.sum())
-            total_ceil = (total + 3) & ~3
-            F_all = fb_pack.shape[0]
             wr = packed["words"].shape[1]
-            # stream byte offsets: real frames contiguous; batch-pad
-            # frames parked 4-aligned past the end so their zeroed
-            # placement writes cannot clobber the final partial word
-            offs = np.full(F_all + 1, total_ceil, dtype=np.int32)
-            offs[0] = 0
-            offs[1:n + 1] = np.cumsum(fb_pack[:n])
-            if n < F_all:
-                # shared slot: end-of-last-real == start-of-first-pad;
-                # the 4-aligned value is safe for both (the last-word
-                # index (x-1)>>2 is unchanged)
-                offs[n] = total_ceil
-            step = 1 << 16                           # 64Ki words
-            wt = -(-(total_ceil // 4 + wr * 128) // step) * step
-            stream = bitpack.compact_words_jit(
-                packed["words"], jnp.asarray(offs), wt=wt,
-                interpret=jax.default_backend() != "tpu")
-            buf = np.asarray(stream).byteswap().view(np.uint8) \
-                [:total].copy()
+            gpf = -(-wr // 8)
+            GB = bitpack.GRANULE_BYTES
+            # per-frame used 4 KiB granules -> flat gather indices
+            u = ((fb_pack[:n] + GB - 1) // GB).astype(np.int64)
+            g_used = int(u.sum())
+            starts = np.cumsum(u) - u
+            base = np.repeat(np.arange(n, dtype=np.int64) * gpf, u)
+            within = np.arange(g_used) - np.repeat(starts, u)
+            src = (base + within).astype(np.int32)
+            g_pad = max(64, -(-g_used // 64) * 64)   # jit-shape bucket
+            idx = np.zeros(g_pad, np.int32)
+            idx[:g_used] = src
+            gr = bitpack.gather_granules_jit(packed["words"],
+                                             jnp.asarray(idx))
+            host_gr = np.asarray(gr)                 # D2H ~ compressed
             t1 = time.perf_counter()
+            # byte-exact reassembly from granule spans + CRC patch
+            by = host_gr.reshape(g_pad, GB // 4).byteswap() \
+                .view(np.uint8)                      # [g_pad, 4096]
+            buf = np.empty(total, np.uint8)
+            goff = np.concatenate([[0], np.cumsum(u)]).astype(np.int64)
+            offs = np.concatenate(
+                [[0], np.cumsum(fb_pack[:n])]).astype(np.int64)
+            for f in range(n):
+                nb = int(fb_pack[f])
+                span = by[goff[f]:goff[f + 1]].reshape(-1)
+                buf[offs[f]:offs[f] + nb] = span[:nb]
             lengths = fb_pack[:n]
             crc_patch(buf, lengths, hdr_nb[:n])
             self.max_frame_size = max(self.max_frame_size,

@@ -18,21 +18,17 @@ merge kernel (grid over frames, sequential):
   block is a dynamic-sublane slice (supported). Leading Rice zeros
   cost nothing (they only advance w0).
 
-compact kernel (grid over frames, sequential):
-  Concatenates per-frame word blocks into the final byte stream at
-  arbitrary byte offsets with one placement DMA per frame — dynamic
-  element offsets are address arithmetic for the DMA engine, not lane
-  ops. All the math (bit-shifting each frame's words to its stream
-  position, pre-ORing the boundary word shared with the predecessor,
-  zeroing batch-padding frames) happens elementwise in XLA
-  (ops/bitpack.py compact_words_jit); later frames overwrite their
-  predecessors' zero-padded tails because the grid runs in offset
-  order.
-
 Chunk bit boundaries come from XLA as an SMEM table; the per-slot
 offsets themselves are computed in XLA with a hierarchical log-shift
 prefix (elementwise adds — the jnp.cumsum lowering is what's slow, not
 the math).
+
+Stream compaction deliberately has NO kernel: byte-offset placement is
+not expressible as TPU DMAs (slices must be tile-aligned — verified:
+1-D and 2-D refs both demand 4 KiB-granular offsets), so compaction is
+a 4 KiB-granule block gather in plain XLA (ops/bitpack.py
+gather_granules_jit, ~memory bandwidth) with byte-exact reassembly on
+host during CRC patching.
 """
 
 from __future__ import annotations
@@ -126,45 +122,3 @@ def merge_words(w0t, hit, lot, chunk_bits, *, wr: int,
     )(chunk_bits, w0t, hit, lot)
 
 
-def _compact_kernel(off_ref, words_ref, out_ref, sem, *, n: int):
-    """Place one frame's pre-shifted words at its stream position —
-    a single HBM->HBM DMA at a dynamic element offset (address
-    arithmetic, not a lane op). The grid is sequential and offsets
-    ascend, so later frames overwrite predecessors' zero-padded tails;
-    the shared boundary word was pre-ORed in XLA.
-
-    off_ref SMEM [F + 1]: stream BYTE offsets (4-aligned for padding
-    frames); words_ref ANY [F, n]; out_ref ANY [wt]."""
-    f = pl.program_id(0)
-    ow0 = off_ref[f] >> jnp.int32(2)
-    cp = pltpu.make_async_copy(words_ref.at[f],
-                               out_ref.at[pl.ds(ow0, n)], sem)
-    cp.start()
-    cp.wait()
-
-
-@functools.partial(jax.jit, static_argnames=("wt", "interpret"))
-def compact_stream(shifted, offsets, *, wt: int,
-                   interpret: bool = False):
-    """Concatenate per-frame (pre-shifted) word rows into one stream
-    word buffer.
-
-    shifted int32 [F, n]: each frame's words already aligned to its
-    stream bit position (XLA side: >> 8*(offset&3) with cross-word
-    carry, boundary word pre-ORed, padding frames zeroed).
-    offsets int32 [F + 1] byte offsets. wt: static output words,
-    >= ceil(total/4) + n slack. Returns int32 [wt]."""
-    F, n = shifted.shape
-    kernel = functools.partial(_compact_kernel, n=n)
-    return pl.pallas_call(
-        kernel,
-        grid=(F,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((wt,), jnp.int32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-        interpret=interpret,
-    )(offsets, shifted)

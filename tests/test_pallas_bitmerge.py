@@ -52,28 +52,30 @@ def test_merge_kernel_verbatim_and_24bit():
     assert np.array_equal(np.asarray(w_xla), np.asarray(w_ker))
 
 
-def test_compact_words_places_frames():
+def test_granule_gather_reassembles_frames():
     an, cfg, hb, hn = _analyzed(5, 4096, 5, seed=9)
     words, tb = bitpack.pack_frames_device(
         an, jnp.asarray(hb), jnp.asarray(hn), cfg, backend="xla")
     fb = (np.asarray(tb) // 8).astype(np.int64)
-    F_all = fb.shape[0]
     n_live = 4                       # treat the last frame as padding
     fb[n_live:] = 0
-    total = int(fb.sum())
-    total_ceil = (total + 3) & ~3
-    offs = np.full(F_all + 1, total_ceil, dtype=np.int32)
-    offs[0] = 0
-    offs[1:n_live + 1] = np.cumsum(fb[:n_live])
-    if n_live < F_all:
-        offs[n_live] = total_ceil
+    GB = bitpack.GRANULE_BYTES
     wr = words.shape[1]
-    wt = -(-(total_ceil // 4 + wr * 128) // (1 << 12)) * (1 << 12)
-    stream = bitpack.compact_words_jit(words, jnp.asarray(offs),
-                                       wt=wt, interpret=True)
-    buf = np.asarray(stream).byteswap().view(np.uint8)[:total]
+    gpf = -(-wr // 8)
+    u = (fb[:n_live] + GB - 1) // GB
+    src = np.concatenate([np.arange(f * gpf, f * gpf + u[f])
+                          for f in range(n_live)]).astype(np.int32)
+    idx = np.zeros(max(8, src.size), np.int32)
+    idx[:src.size] = src
+    gr = np.asarray(bitpack.gather_granules_jit(words,
+                                                jnp.asarray(idx)))
+    by = gr.reshape(idx.size, GB // 4).byteswap().view(np.uint8)
+    goff = np.concatenate([[0], np.cumsum(u)]).astype(np.int64)
+    got = np.concatenate([
+        by[goff[f]:goff[f + 1]].reshape(-1)[:fb[f]]
+        for f in range(n_live)])
 
     # reference: concatenate the per-frame byte views
     slots = np.asarray(bitpack.words_to_slot_bytes(words))
     want = np.concatenate([slots[f, :fb[f]] for f in range(n_live)])
-    assert np.array_equal(buf, want)
+    assert np.array_equal(got, want)
