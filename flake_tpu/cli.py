@@ -57,6 +57,13 @@ TPU-native extensions (not in the reference CLI):
                     on TPU with a negligible (~0.0001%) size change.
                     Output is losslessly decodable either way.
        [--stats]    Print device/pack timing counters after encoding
+       [--pack-backend auto|device|host]
+                    Bitstream emission backend: 'device' packs the
+                    FLAC bytes on the TPU (Pallas word merge; D2H
+                    ships ~the compressed size), 'host' uses the
+                    native C++ packer; 'auto' (default) picks device
+                    when the config supports it. Output bytes are
+                    identical.
 """
 
 
@@ -77,6 +84,7 @@ class Options:
         self.vbs = -1
         self.quiet = False
         self.lpc_dtype = "float64"
+        self.pack_backend = "auto"
         self.stats = False
 
 
@@ -104,6 +112,14 @@ def parse_args(argv: list[str]) -> Options | int:
                 opts.lpc_dtype = argv[i]
             elif arg == "--stats":
                 opts.stats = True
+            elif arg == "--pack-backend":
+                i += 1
+                if i >= len(argv) or argv[i] not in ("auto", "device",
+                                                     "host"):
+                    sys.stderr.write("--pack-backend needs "
+                                     "auto|device|host\n")
+                    return 1
+                opts.pack_backend = argv[i]
             else:
                 sys.stderr.write(f"invalid option: {arg}\n")
                 return 1
@@ -269,7 +285,8 @@ def encode_file(opts: Options, infile: str, outfile: str,
         err.write(f"Error: invalid encoding parameters ({e}).\n")
         return 1
 
-    enc = Encoder(cfg, lpc_dtype=opts.lpc_dtype)
+    enc = Encoder(cfg, lpc_dtype=opts.lpc_dtype,
+                  pack_backend=opts.pack_backend)
     out_is_pipe = outfile == "-"
     ofp = sys.stdout.buffer if out_is_pipe else open(outfile, "wb")
 
