@@ -357,8 +357,11 @@ class Encoder:
                     cnums.astype(np.uint32), bs_code=bs_code,
                     sr_code=self.sr_code,
                     allow_vbs=self.params.allow_vbs)
+                # bps<=16 samples upload as int16 (exact; halves H2D,
+                # which dominates e2e through thin links)
+                up = chunk.astype(np.int16) if self.bps <= 16 else chunk
                 packed = bitpack.analyze_and_pack_jit(
-                    jnp.asarray(chunk), cfg, jnp.asarray(hdr_bits),
+                    jnp.asarray(up), cfg, jnp.asarray(hdr_bits),
                     jnp.asarray(hdr_bytes), jnp.asarray(hdr_nb))
                 return packed, (hdr_nb, cnums, n)
             if self.mesh is not None:

@@ -424,10 +424,13 @@ def analyze_and_pack_jit(samples, cfg: FrameConfig, hdr_bits, hdr_bytes,
                          hdr_nbytes, backend: str = "auto"):
     """One fused dispatch: batched analysis + device bitstream emission.
 
-    Returns {words, total_bits, frame_bytes} — the full analysis dict
-    never leaves the device."""
+    ``samples`` may be int16 (bps <= 16 content: exact, and halves the
+    H2D upload — the dominant cost through a thin host<->device link);
+    it is widened on device. Returns {words, total_bits, frame_bytes}
+    — the full analysis dict never leaves the device."""
     from flake_tpu.ops.frame import analyze_frames
 
+    samples = samples.astype(jnp.int32)
     analysis = analyze_frames(samples, cfg, hdr_bits)
     words, total_bits = pack_frames_device(analysis, hdr_bytes,
                                            hdr_nbytes, cfg,
