@@ -51,25 +51,24 @@ def supports(block_size: int, bps: int, pmax_static: int,
         return False
     if psize % 8 != 0 or psize < 8:
         return False
-    # VMEM envelope: the halo'd input column [halo+B, 128] i32, both
-    # output limb blocks [max_order, parts, 128], coef limbs and ~6
-    # chunk-sized temporaries must all fit the ~16 MB/core VMEM budget.
-    # Legal block sizes reach 65535 (input column alone >33 MB), which
-    # must fall back to the XLA sweep instead of failing Mosaic
-    # compilation at encode time. B=8192/order32/parts256 (~17 MB
-    # nominal, scheduled tighter by Mosaic) is hardware-validated
-    # (docs/RESULTS.md levels 11/12) and is the admitted ceiling.
+    # VMEM envelope: grid blocks are double-buffered, so the scoped
+    # footprint is 2x the input column [halo+B, 128] i32 + 2x both
+    # output limb blocks [max_order, parts, 128] + 2x the coef limb
+    # blocks, plus ~6 chunk-sized temporaries — all within the ~16
+    # MB/core budget. B=8192/order32/parts256 measures 26.1 MB scoped
+    # (AOT compiler) and MUST fall back to the XLA sweep; the level-8
+    # config (13.7 MB by this estimate) compiles and runs.
     halo = -(-max(max_order, 1) // 8) * 8
     parts = 1 << pmax_static
     ppc = max(1, min(parts, 1024 // psize))
     while parts % ppc:
         ppc -= 1
     chunk = ppc * psize
-    est = ((halo + block_size) * LANE * 4
-           + 2 * max_order * parts * LANE * 4
-           + 2 * max_order * max_order * LANE * 4
+    est = (2 * (halo + block_size) * LANE * 4
+           + 4 * max_order * parts * LANE * 4
+           + 4 * max_order * max_order * LANE * 4
            + 6 * chunk * LANE * 4)
-    return est <= 18 * 1024 * 1024
+    return est <= 15 * 1024 * 1024
 
 
 def _sweep3_kernel(x_ref, clo_ref, chi_ref, shl_ref, shr_ref, klo_ref,
