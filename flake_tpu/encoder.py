@@ -358,8 +358,14 @@ class Encoder:
                     sr_code=self.sr_code,
                     allow_vbs=self.params.allow_vbs)
                 # bps<=16 samples upload as int16 (exact; halves H2D,
-                # which dominates e2e through thin links)
-                up = chunk.astype(np.int16) if self.bps <= 16 else chunk
+                # which dominates e2e through thin links) — guarded by
+                # an actual range check so out-of-range input (garbage
+                # in, but host/device parity must still hold) keeps
+                # the wide path
+                up = chunk
+                if self.bps <= 16 and chunk.size \
+                        and chunk.min() >= -32768 and chunk.max() < 32768:
+                    up = chunk.astype(np.int16)
                 packed = bitpack.analyze_and_pack_jit(
                     jnp.asarray(up), cfg, jnp.asarray(hdr_bits),
                     jnp.asarray(hdr_bytes), jnp.asarray(hdr_nb))

@@ -70,7 +70,7 @@ def test_device_pack_constant_and_wasted():
     n = 3 * 4096
     pcm = np.zeros((n, 2), np.int32)
     pcm[:4096, 0] = 1234            # constant subframe
-    pcm[4096:, 0] = (_tone(n - 4096, 1, 2000, seed=9)[:, 0]) << 5
+    pcm[4096:, 0] = (_tone(n - 4096, 1, 800, seed=9)[:, 0]) << 5
     pcm[:, 1] = 64                  # constant + wasted candidates
     cfg = P.StreamConfig(channels=2, sample_rate=44100,
                          bits_per_sample=16, samples=n,
