@@ -143,7 +143,11 @@ def autocorr_dd_pallas(x, window_hi, window_lo, *, max_order: int,
     bp = -(-B // LANE) * LANE
     W = bp + MAX_HALO
 
-    xp = jnp.pad(x, ((0, 0), (0, W - B)))
+    # pad the stream axis to a whole number of 16-row blocks (sublane
+    # tiling needs rows >= 8; shrinking rows for odd N violates it)
+    rows = 16
+    Np = -(-N // rows) * rows
+    xp = jnp.pad(x, ((0, Np - N), (0, W - B)))
     wh = jnp.pad(window_hi.astype(jnp.float32), (0, W - B))
     wl = jnp.pad(window_lo.astype(jnp.float32), (0, W - B))
     wh1, wh2 = _split(wh)
@@ -152,17 +156,13 @@ def autocorr_dd_pallas(x, window_hi, window_lo, *, max_order: int,
     wh2 = wh2.reshape(1, W)
     wl = wl.reshape(1, W)
 
-    rows = 16
-    while N % rows:
-        rows //= 2
-
     kernel = functools.partial(_autocorr_kernel, rows=rows, bp=bp,
                                lags=lags)
     wspec = pl.BlockSpec((1, W), lambda i: (_z(), _z()),
                          memory_space=pltpu.VMEM)
     hi, lo = pl.pallas_call(
         kernel,
-        grid=(N // rows,),
+        grid=(Np // rows,),
         in_specs=[
             pl.BlockSpec((rows, W), lambda i: (i, _z()),
                          memory_space=pltpu.VMEM),
@@ -175,12 +175,12 @@ def autocorr_dd_pallas(x, window_hi, window_lo, *, max_order: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, lags, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((N, lags, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((Np, lags, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((Np, lags, LANE), jnp.float32),
         ],
         interpret=interpret,
     )(xp, wh, wh1, wh2, wl)
 
     # exact finish: 128 double-float partials per (row, lag) in f64
-    return jnp.sum(hi.astype(jnp.float64) + lo.astype(jnp.float64),
-                   axis=-1)
+    return jnp.sum(hi[:N].astype(jnp.float64)
+                   + lo[:N].astype(jnp.float64), axis=-1)
