@@ -115,6 +115,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="skip the parity encode (device timing only)")
+    ap.add_argument("--only", default=None,
+                    help="run a single named config")
     args = ap.parse_args()
 
     import jax
@@ -128,6 +130,8 @@ def main() -> int:
 
     device = str(jax.devices()[0])
     for name, level, bps, sr, C, bs_over in CONFIGS:
+        if args.only and name != args.only:
+            continue
         p = P.set_defaults(level)
         B = bs_over or p.block_size
         # keep the batch's HBM footprint comparable across configs
