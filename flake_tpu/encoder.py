@@ -98,15 +98,13 @@ class Encoder:
             # fail at construction, not first encode
             from flake_tpu.ops import bitpack
             from flake_tpu.ops.frame import FrameConfig
-            if mesh is not None:
-                raise ValueError("pack_backend='device' not supported "
-                                 "with a mesh yet")
             if not bitpack.supports(FrameConfig.from_params(
                     cfg.params, cfg.channels, cfg.bits_per_sample)):
                 raise ValueError(
                     "config unsupported by the device packer "
                     "(sample field wider than 32 bits)")
         self._sharded_analyzers: dict = {}
+        self._sharded_packers: dict = {}
         if mesh is not None:
             # frames shard over dp — or over every chip when a config
             # folds sp into dp (parallel/mesh.py), so require
@@ -301,18 +299,21 @@ class Encoder:
 
         if self.pack_backend == "host":
             return False
-        if self.mesh is not None:
-            # sharded analysis keeps the host packer (frame slots are
-            # dp-sharded; cross-shard compaction not wired yet)
-            if self.pack_backend == "device":
-                raise ValueError("pack_backend='device' not supported "
-                                 "with a mesh yet")
-            return False
         ok = bitpack.supports(cfg)
         if self.pack_backend == "device" and not ok:
             raise ValueError("config unsupported by the device packer "
                              "(sample field wider than 32 bits)")
         return ok
+
+    def _get_sharded_packer(self, cfg):
+        """(run, gather, nshards) for mesh-sharded device emission —
+        built once per (cfg, mesh) and cached (parallel/mesh.py)."""
+        entry = self._sharded_packers.get(cfg)
+        if entry is None:
+            from flake_tpu.parallel.mesh import make_sharded_packer
+            entry = make_sharded_packer(cfg, self.mesh)
+            self._sharded_packers[cfg] = entry
+        return entry
 
     def _run_batches(self, frames: np.ndarray, block_size: int,
                      nums: np.ndarray) -> bytes:
@@ -354,7 +355,7 @@ class Encoder:
             hdr_bits = self._hdr_bits(cnums, bs_code)
             if use_device:
                 hdr_bytes, hdr_nb = bitpack.frame_header_bytes(
-                    cnums.astype(np.uint32), bs_code=bs_code,
+                    cnums.astype(np.int64), bs_code=bs_code,
                     sr_code=self.sr_code,
                     allow_vbs=self.params.allow_vbs)
                 # bps<=16 samples upload as int16 (exact; halves H2D,
@@ -366,10 +367,14 @@ class Encoder:
                 if self.bps <= 16 and chunk.size \
                         and chunk.min() >= -32768 and chunk.max() < 32768:
                     up = chunk.astype(np.int16)
+                if self.mesh is not None:
+                    run, gather, nsh = self._get_sharded_packer(cfg)
+                    packed = run(up, hdr_bits, hdr_bytes, hdr_nb)
+                    return packed, (hdr_nb, cnums, n), (gather, nsh)
                 packed = bitpack.analyze_and_pack_jit(
                     jnp.asarray(up), cfg, jnp.asarray(hdr_bits),
                     jnp.asarray(hdr_bytes), jnp.asarray(hdr_nb))
-                return packed, (hdr_nb, cnums, n)
+                return packed, (hdr_nb, cnums, n), (None, 1)
             if self.mesh is not None:
                 analysis = self._analyze_sharded(chunk, cfg, hdr_bits)
             else:
@@ -379,11 +384,13 @@ class Encoder:
 
         def drain_device(item):
             """Device-emission drain: fetch only the per-frame byte
-            counts, compact the stream on device, fetch ~the compressed
-            bytes, and patch CRCs on host."""
+            counts, compact the stream on device (shard-locally under a
+            mesh), fetch ~the compressed bytes, and patch CRCs on
+            host. Reassembly is vectorized: per shard, one boolean mask
+            drops the granule padding (no per-frame Python loop)."""
             from flake_tpu.native import crc_patch
 
-            packed, (hdr_nb, cnums, n) = item
+            packed, (hdr_nb, cnums, n), (gather, nsh) = item
             t0 = time.perf_counter()
             jax.block_until_ready(packed["words"])   # device compute
             t_ready = time.perf_counter()
@@ -396,34 +403,49 @@ class Encoder:
             fb_pack = fb_all.astype(np.int64)
             fb_pack[n:] = 0                          # drop pad frames
             total = int(fb_pack.sum())
+            Fb = fb_pack.shape[0]
             wr = packed["words"].shape[1]
             gpf = -(-wr // 8)
             GB = bitpack.GRANULE_BYTES
-            # per-frame used 4 KiB granules -> flat gather indices
-            u = ((fb_pack[:n] + GB - 1) // GB).astype(np.int64)
-            g_used = int(u.sum())
-            starts = np.cumsum(u) - u
-            base = np.repeat(np.arange(n, dtype=np.int64) * gpf, u)
-            within = np.arange(g_used) - np.repeat(starts, u)
-            src = (base + within).astype(np.int32)
-            g_pad = max(64, -(-g_used // 64) * 64)   # jit-shape bucket
-            idx = np.zeros(g_pad, np.int32)
-            idx[:g_used] = src
-            gr = bitpack.gather_granules_jit(packed["words"],
-                                             jnp.asarray(idx))
-            host_gr = np.asarray(gr)                 # D2H ~ compressed
+            # per-frame used 4 KiB granules -> shard-local gather
+            # indices, padded to a common per-shard capacity
+            fs = Fb // nsh
+            u2 = ((fb_pack + GB - 1) // GB).reshape(nsh, fs)
+            per_shard = u2.sum(axis=1)
+            gcap = int(max(64, -(-per_shard.max() // 64) * 64))
+            idx = np.zeros((nsh, gcap), np.int32)
+            for s in range(nsh):
+                u = u2[s]
+                tot = int(per_shard[s])
+                starts = np.cumsum(u) - u
+                base = np.repeat(np.arange(fs, dtype=np.int64) * gpf, u)
+                within = np.arange(tot) - np.repeat(starts, u)
+                idx[s, :tot] = (base + within).astype(np.int32)
+            if gather is None:
+                gr = bitpack.gather_granules_jit(
+                    packed["words"], jnp.asarray(idx[0]))
+                host_gr = np.asarray(gr)[None]       # [1, gcap, 8, 128]
+            else:
+                gr = gather(packed["words"], jnp.asarray(idx))
+                host_gr = np.asarray(gr)             # [nsh, gcap, 8, 128]
             t1 = time.perf_counter()
-            # byte-exact reassembly from granule spans + CRC patch
-            by = host_gr.reshape(g_pad, GB // 4).byteswap() \
-                .view(np.uint8)                      # [g_pad, 4096]
-            buf = np.empty(total, np.uint8)
-            goff = np.concatenate([[0], np.cumsum(u)]).astype(np.int64)
-            offs = np.concatenate(
-                [[0], np.cumsum(fb_pack[:n])]).astype(np.int64)
-            for f in range(n):
-                nb = int(fb_pack[f])
-                span = by[goff[f]:goff[f + 1]].reshape(-1)
-                buf[offs[f]:offs[f] + nb] = span[:nb]
+            # byte-exact reassembly: per shard, big-endian byte view of
+            # the used granules, then one mask drops pad bytes
+            pieces = []
+            fb2 = fb_pack.reshape(nsh, fs)
+            for s in range(nsh):
+                tot = int(per_shard[s])
+                if not tot:
+                    continue
+                by = host_gr[s, :tot].reshape(tot, GB // 4) \
+                    .byteswap().view(np.uint8).reshape(-1)
+                cnt = u2[s] * GB                     # span bytes/frame
+                pos = np.arange(by.shape[0], dtype=np.int64) \
+                    - np.repeat((np.cumsum(cnt) - cnt), cnt)
+                pieces.append(by[pos < np.repeat(fb2[s], cnt)])
+            buf = np.concatenate(pieces) if pieces \
+                else np.zeros(0, np.uint8)
+            assert buf.shape[0] == total
             lengths = fb_pack[:n]
             crc_patch(buf, lengths, hdr_nb[:n])
             self.max_frame_size = max(self.max_frame_size,
@@ -452,7 +474,7 @@ class Encoder:
             host = {k: np.asarray(v)[:n] for k, v in host.items()}
             t1 = time.perf_counter()
             blob, lengths = pack_frames(
-                host, cnums[:n].astype(np.uint32),
+                host, cnums[:n].astype(np.uint64),
                 block_size=block_size, channels=self.channels,
                 bps_code=self.bps_code, sr_code=self.sr_code,
                 bs_code=bs_code, allow_vbs=self.params.allow_vbs,

@@ -69,8 +69,13 @@ def _ensure_built(src: pathlib.Path, out: pathlib.Path) -> None:
     if out.stat().st_mtime < src.stat().st_mtime:
         try:
             _build(src, out)
-        except Exception:
-            pass  # use the packaged (pre-built) library
+        except Exception as exc:
+            import warnings
+            warnings.warn(
+                f"rebuild of stale native library {out.name} failed "
+                f"({exc}); falling back to the prebuilt copy, which "
+                f"predates the current {src.name}", RuntimeWarning,
+                stacklevel=2)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -85,9 +90,10 @@ def get_lib() -> ctypes.CDLL:
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
         lib.flake_pack_frames.argtypes = [
             i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
-            ctypes.c_int, u32p, i32p,
+            ctypes.c_int, u64p, i32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
@@ -141,7 +147,7 @@ def pack_frames(analysis: dict, frame_nums: np.ndarray, *,
         residual, coefs, a32("shift"), a32("obits"), a32("wasted"),
         a32("sf_type"), a32("order"), a32("porder"), a32("method"),
         rice_k, parts_stride,
-        np.ascontiguousarray(frame_nums, dtype=np.uint32),
+        np.ascontiguousarray(frame_nums, dtype=np.uint64),
         a32("ch_mode"),
         F, channels, block_size,
         bps_code, sr_code[0], sr_code[1], bs_code[0], bs_code[1],

@@ -147,15 +147,17 @@ struct BitWriter {
     inline int64_t count() const { return pos + ((nacc + 7) >> 3); }
 };
 
-inline void write_utf8(BitWriter& bw, uint32_t val) {
-    if (val < 0x80) { bw.put(8, val); return; }
-    int lg = 31 - __builtin_clz(val);
+// FLAC UTF-8 coded numbers carry up to 36 bits (frame number, or the
+// first sample number in VBS streams past 2^32 samples) — 64-bit in.
+inline void write_utf8(BitWriter& bw, uint64_t val) {
+    if (val < 0x80) { bw.put(8, static_cast<uint32_t>(val)); return; }
+    int lg = 63 - __builtin_clzll(val);
     int bytes = (lg + 4) / 5;
     int shift = (bytes - 1) * 6;
-    bw.put(8, (256 - (256 >> bytes)) | (val >> shift));
+    bw.put(8, static_cast<uint32_t>((256 - (256 >> bytes)) | (val >> shift)));
     while (shift >= 6) {
         shift -= 6;
-        bw.put(8, 0x80 | ((val >> shift) & 0x3F));
+        bw.put(8, static_cast<uint32_t>(0x80 | ((val >> shift) & 0x3F)));
     }
 }
 
@@ -211,7 +213,7 @@ void flake_pack_frames(
     const int32_t* method,      // [F, C]
     const int32_t* rice_k,      // [F, C, parts_stride]
     int parts_stride,
-    const uint32_t* frame_num,  // [F]
+    const uint64_t* frame_num,  // [F]
     const int32_t* ch_mode,     // [F] (0 = not stereo)
     int F, int C, int B,
     int bps_code, int sr_code0, int sr_code1,

@@ -521,6 +521,108 @@ def make_sharded_analyzer(cfg: FrameConfig, mesh: Mesh):
     return run
 
 
+def make_sharded_packer(cfg: FrameConfig, mesh: Mesh,
+                        backend: str = "auto"):
+    """Sharded analysis + ON-DEVICE bitstream emission (round 5).
+
+    The emission stage (ops/bitpack.py) is per-frame-local, so it runs
+    inside the shard_map body on each chip's own frames: under dp the
+    local analysis feeds the local pack directly; under dp x sp the
+    sp-sharded residual is resharded with ONE all_to_all (frame axis
+    split, sample axis concat — each sp rank then packs F_local/sp
+    whole frames), so every chip emits 1/(dp*sp) of the frames' final
+    bytes. The only other collective remains the scalar pmax for
+    STREAMINFO (metadata.c:54). Word blocks come back sharded over all
+    chips in frame order — bitwise identical to the single-chip packer.
+    """
+    from flake_tpu.ops import bitpack
+
+    sp = mesh.shape.get("sp", 1)
+    use_sp = sp_supported(cfg, sp)
+    if sp > 1 and not use_sp:
+        mesh = Mesh(mesh.devices.reshape(-1), ("dp",))
+        sp = 1
+
+    def local(samples_l, hdr_bits_l, hdr_bytes_l, hdr_nb_l):
+        samples_l = samples_l.astype(jnp.int32)  # int16 upload allowed
+        if use_sp:
+            out = analyze_frames_sp(samples_l, cfg, hdr_bits_l)
+            fl = samples_l.shape[0]
+            fs = fl // sp
+            r = jax.lax.axis_index("sp")
+            res = jax.lax.all_to_all(out["residual"], "sp",
+                                     split_axis=0, concat_axis=2,
+                                     tiled=True)       # [fs, C, B]
+            sub = {k: jax.lax.dynamic_slice_in_dim(v, r * fs, fs, 0)
+                   for k, v in out.items()
+                   if v is not None and k != "residual"}
+            sub["residual"] = res
+            hb = jax.lax.dynamic_slice_in_dim(hdr_bytes_l, r * fs, fs, 0)
+            hn = jax.lax.dynamic_slice_in_dim(hdr_nb_l, r * fs, fs, 0)
+            words, tb = bitpack.pack_frames_device(sub, hb, hn, cfg,
+                                                   backend=backend)
+            fb_l = sub["frame_bytes"]
+        else:
+            out = analyze_frames(samples_l, cfg, hdr_bits_l)
+            words, tb = bitpack.pack_frames_device(
+                out, hdr_bytes_l, hdr_nb_l, cfg, backend=backend)
+            fb_l = out["frame_bytes"]
+        gmax = jax.lax.pmax(jnp.max(out["frame_bytes"]), "dp")
+        if sp > 1:
+            gmax = jax.lax.pmax(gmax, "sp")
+        return {"words": words, "total_bits": tb, "frame_bytes": fb_l,
+                "global_max_frame_bytes": gmax}
+
+    fspec = PS(("dp", "sp")) if use_sp else PS("dp")
+    out_spec = {"words": fspec, "total_bits": fspec, "frame_bytes": fspec,
+                "global_max_frame_bytes": PS()}
+    in_samples = PS("dp", "sp") if use_sp else PS("dp")
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(in_samples, PS("dp"), PS("dp"), PS("dp")),
+        out_specs=out_spec, check_vma=False)
+    step = jax.jit(shard)
+
+    in_sharding = NamedSharding(mesh, in_samples)
+    dp_sharding = NamedSharding(mesh, PS("dp"))
+
+    def run(samples, hdr_bits, hdr_bytes, hdr_nb):
+        samples = jax.device_put(samples, in_sharding)
+        hdr_bits = jax.device_put(hdr_bits, dp_sharding)
+        hdr_bytes = jax.device_put(hdr_bytes, dp_sharding)
+        hdr_nb = jax.device_put(hdr_nb, dp_sharding)
+        return step(samples, hdr_bits, hdr_bytes, hdr_nb)
+
+    gather = make_granule_gather(mesh, bitpack.word_rows(cfg))
+    return run, gather, mesh.size
+
+
+def make_granule_gather(mesh: Mesh, wr: int):
+    """Shard-local granule compaction (the sharded twin of
+    bitpack.gather_granules_jit): each chip block-gathers only the
+    4 KiB granules its own frames use. ``idx`` [nshards, gcap] carries
+    shard-LOCAL granule indices (frame-local granule g of local frame
+    f at f*ceil(wr/8)+g); returns [nshards, gcap, 8, 128] sharded on
+    axis 0, so D2H stays ~the compressed size per chip and ZERO frame
+    bytes cross the interconnect."""
+    axes = tuple(mesh.axis_names)
+
+    def local(words_l, idx_l):
+        fl = words_l.shape[0]
+        gpf = -(-wr // 8)
+        if gpf * 8 != wr:
+            words_l = jnp.pad(words_l,
+                              ((0, 0), (0, gpf * 8 - wr), (0, 0)))
+        gran = words_l.reshape(fl * gpf, 8, 128)
+        return jnp.take(gran, idx_l[0], axis=0)[None]
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(PS(axes), PS(axes)),
+        out_specs=PS(axes), check_vma=False)
+    return jax.jit(shard)
+
+
 def training_step_sharded(samples, cfg: FrameConfig, hdr_bits,
                           mesh: Mesh):
     """The full jitted multi-chip step: device analysis under real

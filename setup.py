@@ -19,7 +19,12 @@ class CtypesExtension(Extension):
 
 class OptionalBuildExt(build_ext):
     def get_ext_filename(self, fullname):
-        ext = self.ext_map.get(fullname)
+        # inplace builds call this with only the last dotted component
+        # (distutils get_ext_fullpath), so key on the basename as well —
+        # otherwise the lookup misses and the extension gets an
+        # ABI-tagged name the ctypes loader never finds
+        ext = self.ext_map.get(fullname) \
+            or self.ext_map.get(fullname.split(".")[-1])
         if isinstance(ext, CtypesExtension):
             return fullname.replace(".", "/") + ".so"
         return super().get_ext_filename(fullname)

@@ -3,9 +3,20 @@
 Sharding logic is tested on a host-simulated mesh (the driver separately
 dry-runs the multi-chip path); kernels are validated on CPU for
 determinism and in CI environments without a TPU.
+
+Full-suite runs are PROCESS-ISOLATED per test file (pytest_runtestloop
+below): XLA:CPU reproducibly segfaults after ~70 tests' worth of
+accumulated in-process compiles (the crash site moves with the test
+order, every test passes standalone — a cumulative JIT-state failure
+inside XLA, not a test bug). One ``python -m pytest tests/`` invocation
+therefore shells out one pytest subprocess per file; single-file runs
+stay in-process and behave exactly as before.
 """
 
 import os
+import re
+import subprocess
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -19,8 +30,13 @@ import jax  # noqa: E402
 # in a way the env var alone does not override — force it via config too
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the suite's wall time is dominated by XLA CPU
-# compiles of the batched pipeline; caching makes re-runs fast
+# Persistent compile cache: the suite's wall time is dominated by XLA CPU
+# compiles of the batched pipeline; caching makes re-runs fast. Note
+# flake_tpu/__init__.py refuses to enable the *user-level shared* cache
+# on CPU because XLA:CPU entries are keyed to detected host CPU features
+# and can go stale across machines/images; this one is a per-checkout
+# cache under tests/ on one machine — same CPU for every process that
+# reads it — which is the case the concern does not cover.
 _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -28,6 +44,69 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+_CHILD_ENV = "_FLAKE_TPU_TEST_CHILD"
+
+
+def pytest_runtestloop(session):
+    """Run multi-file suites as one subprocess per test file.
+
+    Returning True replaces pytest's default loop; children run with the
+    default loop (guarded by an env var). -x stops at the first failing
+    file; -k/-m forward to the children so deselection still works."""
+    if os.environ.get(_CHILD_ENV):
+        return None
+    if session.config.option.collectonly:
+        return None
+    files: list[str] = []
+    for item in session.items:
+        p = str(item.fspath)
+        if p not in files:
+            files.append(p)
+    if len(files) <= 1:
+        return None
+
+    opt = session.config.option
+    extra: list[str] = []
+    if getattr(opt, "keyword", ""):
+        extra += ["-k", opt.keyword]
+    if getattr(opt, "markexpr", ""):
+        extra += ["-m", opt.markexpr]
+    env = dict(os.environ, **{_CHILD_ENV: "1"})
+
+    passed = skipped = 0
+    failed_files: list[str] = []
+    for path in files:
+        cmd = [sys.executable, "-m", "pytest", path, "-q",
+               "--no-header", *extra]
+        proc = subprocess.run(cmd, env=env, capture_output=True,
+                              text=True)
+        tail = (proc.stdout or "").strip().splitlines()
+        summary = tail[-1] if tail else ""
+        for n, what in re.findall(r"(\d+) (passed|skipped)", summary):
+            if what == "passed":
+                passed += int(n)
+            else:
+                skipped += int(n)
+        name = os.path.basename(path)
+        if proc.returncode == 0:
+            sys.stdout.write(f"[isolated] {name}: {summary}\n")
+        elif proc.returncode == 5:  # no tests collected (e.g. -k miss)
+            sys.stdout.write(f"[isolated] {name}: no tests selected\n")
+        else:
+            failed_files.append(path)
+            sys.stdout.write(
+                f"[isolated] {name}: FAILED (rc={proc.returncode})\n"
+                f"{proc.stdout}\n{proc.stderr}\n")
+            session.testsfailed += 1
+            if getattr(opt, "exitfirst", False):
+                break
+        sys.stdout.flush()
+
+    sys.stdout.write(
+        f"[isolated suite] {passed} passed, {skipped} skipped across "
+        f"{len(files)} files; {len(failed_files)} file(s) failed\n")
+    return True
 
 
 def make_test_signal(n: int, channels: int = 2, bps: int = 16,

@@ -205,3 +205,90 @@ def test_sp_folds_into_dp_for_fixed_prediction():
         np.testing.assert_array_equal(
             np.asarray(out[key]), np.asarray(dense[key]),
             err_msg=f"mismatch in {key}")
+
+
+def test_sharded_device_emission_bitwise():
+    """Round 5: device emission under the mesh — the sharded packer's
+    word blocks and bit counts must equal the single-chip device pack
+    bitwise, for dp-only and dp x sp meshes (the sp path reshards the
+    residual with one all_to_all so every chip emits its own frames)."""
+    from flake_tpu.ops import bitpack
+    from flake_tpu.parallel.mesh import make_sharded_packer
+
+    F, B = 8, 1024
+    cfg = FrameConfig.from_params(P.set_defaults(8), 2, 16, block_size=B)
+    samples = _frames(F, B, seed=31)
+    samples[3] = -7                                   # constant
+    rng = np.random.default_rng(9)
+    samples[4] = rng.integers(-32768, 32768, samples[4].shape)  # noise
+    nums = np.arange(F, dtype=np.int64)
+    hb, hn = bitpack.frame_header_bytes(
+        nums, bs_code=P.blocksize_code(B),
+        sr_code=P.samplerate_code(44100), allow_vbs=0)
+    hdr_bits = (hn.astype(np.int32) * 8).astype(np.int32)
+
+    dense = analyze_frames(jnp.asarray(samples), cfg,
+                           jnp.asarray(hdr_bits))
+    w_ref, tb_ref = bitpack.pack_frames_device(
+        dense, jnp.asarray(hb), jnp.asarray(hn), cfg)
+
+    for sp in (1, 2):
+        mesh = make_mesh(8, sp=sp)
+        run, gather, nsh = make_sharded_packer(cfg, mesh)
+        packed = run(samples, hdr_bits, hb, hn)
+        np.testing.assert_array_equal(
+            np.asarray(packed["total_bits"]), np.asarray(tb_ref),
+            err_msg=f"total_bits sp={sp}")
+        np.testing.assert_array_equal(
+            np.asarray(packed["words"]), np.asarray(w_ref),
+            err_msg=f"words sp={sp}")
+        assert nsh == 8
+        # shard-local granule gather round-trips the used granules
+        wr = bitpack.word_rows(cfg)
+        gpf = -(-wr // 8)
+        fb = np.asarray(packed["frame_bytes"]).astype(np.int64)
+        fs = F // nsh
+        u2 = ((fb + bitpack.GRANULE_BYTES - 1)
+              // bitpack.GRANULE_BYTES).reshape(nsh, fs)
+        gcap = int(max(64, -(-u2.sum(1).max() // 64) * 64))
+        idx = np.zeros((nsh, gcap), np.int32)
+        for s in range(nsh):
+            u = u2[s]
+            tot = int(u.sum())
+            starts = np.cumsum(u) - u
+            base = np.repeat(np.arange(fs, dtype=np.int64) * gpf, u)
+            within = np.arange(tot) - np.repeat(starts, u)
+            idx[s, :tot] = (base + within).astype(np.int32)
+        gr = np.asarray(gather(packed["words"], jnp.asarray(idx)))
+        w_np = np.asarray(w_ref)
+        w_pad = np.pad(w_np, ((0, 0), (0, gpf * 8 - wr), (0, 0))) \
+            if gpf * 8 != wr else w_np
+        gran_ref = w_pad.reshape(F * gpf, 8, 128)
+        for s in range(nsh):
+            u = u2[s]
+            tot = int(u.sum())
+            gidx = idx[s, :tot] + s * fs * gpf
+            np.testing.assert_array_equal(gr[s, :tot], gran_ref[gidx])
+
+
+def test_encoder_mesh_device_pack_stream_parity():
+    """Encoder(mesh=..., pack_backend='device') must produce the exact
+    byte stream of the single-chip host and device paths (closing the
+    round-4 gap where a mesh silently reverted to host packing)."""
+    F, B = 16, 1024
+    import dataclasses
+
+    p = dataclasses.replace(P.set_defaults(8), block_size=B)
+    pcm = make_test_signal(F * B + 137, 2, 16, seed=41)
+    cfg = P.StreamConfig(channels=2, sample_rate=44100,
+                         bits_per_sample=16, samples=pcm.shape[0],
+                         params=p)
+    from flake_tpu.encoder import Encoder
+
+    ref = Encoder(cfg, pack_backend="host",
+                  batch_frames=8).encode_stream(pcm)
+    for sp in (1, 2):
+        mesh = make_mesh(8, sp=sp)
+        got = Encoder(cfg, mesh=mesh, pack_backend="device",
+                      batch_frames=8).encode_stream(pcm)
+        assert got == ref, f"mesh device-pack stream differs (sp={sp})"
