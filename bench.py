@@ -162,7 +162,7 @@ def main() -> int:
             for i in range(K):
                 out = analyze_frames(ins[i % 4] + (i // 4), cfg,
                                      hdr_bits)
-                words, tb = bitpack.pack_frames_device(out, hbj, hnj,
+                words, tb, _ = bitpack.pack_frames_device(out, hbj, hnj,
                                                        cfg)
                 s = jnp.sum(tb.astype(jnp.int64)) + jnp.sum(
                     words[:, ::7, ::11].astype(jnp.int64))

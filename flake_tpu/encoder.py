@@ -370,11 +370,13 @@ class Encoder:
                 if self.mesh is not None:
                     run, gather, nsh = self._get_sharded_packer(cfg)
                     packed = run(up, hdr_bits, hdr_bytes, hdr_nb)
-                    return packed, (hdr_nb, cnums, n), (gather, nsh)
+                    return packed, (hdr_nb, cnums, n), (gather, nsh), \
+                        (up, hdr_bits, hdr_bytes, hdr_nb)
                 packed = bitpack.analyze_and_pack_jit(
                     jnp.asarray(up), cfg, jnp.asarray(hdr_bits),
                     jnp.asarray(hdr_bytes), jnp.asarray(hdr_nb))
-                return packed, (hdr_nb, cnums, n), (None, 1)
+                return packed, (hdr_nb, cnums, n), (None, 1), \
+                    (up, hdr_bits, hdr_bytes, hdr_nb)
             if self.mesh is not None:
                 analysis = self._analyze_sharded(chunk, cfg, hdr_bits)
             else:
@@ -390,10 +392,23 @@ class Encoder:
             drops the granule padding (no per-frame Python loop)."""
             from flake_tpu.native import crc_patch
 
-            packed, (hdr_nb, cnums, n), (gather, nsh) = item
+            packed, (hdr_nb, cnums, n), (gather, nsh), raw = item
             t0 = time.perf_counter()
             jax.block_until_ready(packed["words"])   # device compute
             t_ready = time.perf_counter()
+            if bool(np.asarray(packed.get("overflow", False))):
+                # pathological Rice runs exceeded the merge kernel's
+                # static row span (bitpack.kmax_for): re-pack this
+                # batch through the exact XLA formulation (rare;
+                # correctness path, tested via kmax=0 monkeypatch)
+                up_r, hb_r, hby_r, hn_r = raw
+                packed = bitpack.analyze_and_pack_jit(
+                    jnp.asarray(up_r), cfg, jnp.asarray(hb_r),
+                    jnp.asarray(hby_r), jnp.asarray(hn_r),
+                    backend="xla")
+                gather = None
+                nsh = 1
+                jax.block_until_ready(packed["words"])
             fb_all = np.asarray(packed["frame_bytes"])
             tb = np.asarray(packed["total_bits"])
             if not np.array_equal(tb[:n], fb_all[:n] * 8):

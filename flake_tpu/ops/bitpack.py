@@ -165,6 +165,222 @@ def _batched_lower_bound(a, targets):
     return lo
 
 
+# ---------------------------------------------------------------------------
+# round 5: two-level slot combining (pair -> quad, 64-bit payload cap)
+# ---------------------------------------------------------------------------
+#
+# The merge kernel's cost scales with slot-chunk count, so adjacent
+# slots are combined twice before alignment: a node is (len, sw, g,
+# ph:pl) — a bitstring of `len` bits whose nonzero bits live in
+# [len-g-sw, len-g), stored as the 64-bit integer ph*2^32+pl < 2^sw.
+# Combining A+B shifts A's payload up by lenB (+gap bookkeeping) and
+# ORs B's in; Rice codes' leading zero runs cost only length. A node
+# that would exceed 64 significant bits keeps A and spills B whole to
+# a per-level side array (full capacity — there is no overflow case),
+# which is ~all-zero on real content and skipped per-chunk in the
+# kernel via an activity flag in the cb sign bit.
+
+
+def _shr32(x, s):
+    """x >> s for s in [1, 32] (s==32 -> 0; negative s is garbage but
+    callers select those lanes away)."""
+    u32 = jnp.uint32
+    return (x >> u32(1)) >> jnp.clip(s - 1, 0, 31).astype(u32)
+
+
+def _shl64(ph, pl, sh):
+    """(ph:pl) << sh for sh in [0, 63]; caller guarantees the result
+    stays within 64 bits."""
+    u32 = jnp.uint32
+    shc = jnp.clip(sh, 0, 63)
+    lo_sh = jnp.clip(shc, 0, 31).astype(u32)
+    big = shc >= 32
+    sh2 = jnp.clip(shc - 32, 0, 31).astype(u32)
+    nph = jnp.where(big, pl << sh2,
+                    (ph << lo_sh) | _shr32(pl, 32 - shc))
+    npl = jnp.where(big, u32(0), pl << lo_sh)
+    return nph, npl
+
+
+def _pad_even(x, fill=0):
+    if x.shape[-1] % 2:
+        pads = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
+        x = jnp.pad(x, pads, constant_values=fill)
+    return x
+
+
+def _combine_level(ln, sw, g, ph, pl, cap=64):
+    """One pairwise combining level along the last (even-length) axis.
+    Returns combined nodes [.., M/2] and the spill node arrays
+    (payload sw/relative start/ph/pl), zero where no spill."""
+    u32 = jnp.uint32
+    lnA, lnB = ln[..., 0::2], ln[..., 1::2]
+    swA, swB = sw[..., 0::2], sw[..., 1::2]
+    gA, gB = g[..., 0::2], g[..., 1::2]
+    phA, phB = ph[..., 0::2], ph[..., 1::2]
+    plA, plB = pl[..., 0::2], pl[..., 1::2]
+
+    sh = gA + lnB - gB                 # >= swB: ORs stay disjoint
+    sw_c = swA + sh
+    fits = sw_c <= cap
+    sph, spl = _shl64(phA, plA, jnp.where(fits, sh, 0))
+
+    azero = swA == 0
+    bzero = swB == 0
+    ln_n = lnA + lnB
+    sw_n = jnp.where(azero, swB,
+                     jnp.where(bzero, swA,
+                               jnp.where(fits, sw_c, swA)))
+    g_n = jnp.where(azero, gB,
+                    jnp.where(bzero | ~fits, gA + lnB, gB))
+    ph_n = jnp.where(azero, phB,
+                     jnp.where(bzero, phA,
+                               jnp.where(fits, sph | phB, phA)))
+    pl_n = jnp.where(azero, plB,
+                     jnp.where(bzero, plA,
+                               jnp.where(fits, spl | plB, plA)))
+
+    sp = (~azero) & (~bzero) & (~fits)
+    s_sw = jnp.where(sp, swB, 0)
+    s_rel = jnp.where(sp, lnA + lnB - gB - swB, 0)
+    s_ph = jnp.where(sp, phB, u32(0))
+    s_pl = jnp.where(sp, plB, u32(0))
+    return (ln_n, sw_n, g_n, ph_n, pl_n), (s_sw, s_rel, s_ph, s_pl)
+
+
+def _align3(ps, sw, ph, pl):
+    """Aligned 3-word contributions of a <=64-bit payload occupying
+    bits [ps, ps+sw): (w0, A->w0, B->w0+1, C->w0+2)."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    active = sw > 0
+    w0 = (ps >> 5).astype(i32)
+    t = (ps & 31) + sw                 # in [1, 95] when active
+    z = 96 - t                         # left shift inside the window
+    zc = jnp.clip(z, 1, 31).astype(u32)
+    A1 = _shr32(ph, 32 - z)
+    B1 = (ph << zc) | _shr32(pl, 32 - z)
+    C1 = pl << zc
+    z2 = jnp.clip(z - 32, 0, 31).astype(u32)
+    A2 = (ph << z2) | _shr32(pl, 64 - z)
+    B2 = pl << z2
+    z3 = jnp.clip(z - 64, 0, 31).astype(u32)
+    A3 = pl << z3
+    big2 = z >= 64
+    big1 = z >= 32
+    A = jnp.where(big2, A3, jnp.where(big1, A2, A1))
+    Bw = jnp.where(big2, u32(0), jnp.where(big1, B2, B1))
+    Cw = jnp.where(big1, u32(0), C1)
+    A = jnp.where(active, A, u32(0)).astype(i32)
+    Bw = jnp.where(active, Bw, u32(0)).astype(i32)
+    Cw = jnp.where(active, Cw, u32(0)).astype(i32)
+    w0 = jnp.where(active, w0, 0)
+    return w0, A, Bw, Cw
+
+
+def _to_rows(x):
+    """[F, M] -> [F, nc, 128] row layout (nodes on lanes)."""
+    F, M = x.shape
+    nc = -(-M // 128)
+    if nc * 128 != M:
+        x = jnp.pad(x, ((0, 0), (0, nc * 128 - M)))
+    return x.reshape(F, nc, 128)
+
+
+def kmax_for(cfg: FrameConfig) -> tuple[int, int]:
+    """Static output-row spans per chunk for the combined merge.
+
+    A 128-node main chunk covers 512 original slots; with per-
+    partition-optimal Rice parameters the average code stays under
+    obits+3 bits, so the chunk's bit range is bounded and the row span
+    is static. Content that still exceeds it (legal but pathological
+    mixes) trips the `overflow` flag and re-packs via the XLA path."""
+    ob = cfg.bps + (1 if cfg.channels == 2 else 0)
+    k2 = -(-(512 * (ob + 3) + 95) // 4096) + 1
+    k1 = -(-(256 * (ob + 3) + 95) // 4096) + 1
+    return k2, k1
+
+
+def build_combined_parts(lengths, leading, payload, total_bits,
+                         kmax: int, kmax1: int):
+    """Combine slots twice and align for the v5 merge kernel.
+
+    Returns (kernel_inputs..., overflow[F] bool): mainw, (mA, mB, mC),
+    sp2w, (s2A, s2B, s2C), sp1w, (s1A, s1B), cb2, cb1."""
+    i32 = jnp.int32
+    ln = _pad_even(lengths)
+    lead = _pad_even(leading)
+    pay = _pad_even(payload)
+    sw = ln - lead
+    g = jnp.zeros_like(ln)
+    ph = jnp.zeros_like(pay)
+
+    (ln1, sw1, g1, ph1, pl1), (s1_sw, s1_rel, s1_ph, s1_pl) = \
+        _combine_level(ln, sw, g, ph, pay)
+    ln1p = _pad_even(ln1)
+    (ln2, sw2, g2, ph2, pl2), (s2_sw, s2_rel, s2_ph, s2_pl) = \
+        _combine_level(_pad_even(ln1), _pad_even(sw1), _pad_even(g1),
+                       _pad_even(ph1), _pad_even(pl1))
+
+    off2 = _exclusive_cumsum_hier(ln2)
+    lnA = ln1p[..., 0::2]
+    off1 = jnp.stack([off2, off2 + lnA], axis=-1) \
+        .reshape(off2.shape[0], -1)[..., :ln1.shape[-1]]
+
+    m_w0, m_A, m_B, m_C = _align3(off2 + ln2 - g2 - sw2, sw2, ph2, pl2)
+    s2_w0, s2_A, s2_B, s2_C = _align3(off2 + s2_rel, s2_sw, s2_ph,
+                                      s2_pl)
+    s1_w0, s1_A, s1_B, _ = _align3(off1 + s1_rel, s1_sw, s1_ph, s1_pl)
+
+    mainw = _to_rows(m_w0)
+    mainr = tuple(_to_rows(v) for v in (m_A, m_B, m_C))
+    sp2w = _to_rows(s2_w0)
+    sp2r = tuple(_to_rows(v) for v in (s2_A, s2_B, s2_C))
+    sp1w = _to_rows(s1_w0)
+    sp1r = tuple(_to_rows(v) for v in (s1_A, s1_B))
+
+    nc2 = mainw.shape[1]
+    nc1 = sp1w.shape[1]
+    M4 = ln2.shape[-1]
+    pad2 = nc2 * 128 - M4
+    offp = jnp.pad(off2, ((0, 0), (0, pad2)), mode="edge") \
+        if pad2 else off2
+    cb2 = jnp.concatenate(
+        [offp[:, ::128], total_bits[:, None]], axis=-1).astype(i32)
+    M2 = ln1.shape[-1]
+    pad1 = nc1 * 128 - M2
+    off1p = jnp.pad(off1, ((0, 0), (0, pad1)), mode="edge") \
+        if pad1 else off1
+    cb1 = jnp.concatenate(
+        [off1p[:, ::128], total_bits[:, None]], axis=-1).astype(i32)
+
+    def chunk_any(sw_arr, ncx):
+        pad = ncx * 128 - sw_arr.shape[-1]
+        sa = jnp.pad(sw_arr, ((0, 0), (0, pad))) if pad else sw_arr
+        return (sa.reshape(sa.shape[0], ncx, 128) > 0).any(axis=-1)
+
+    fl2 = chunk_any(s2_sw, nc2)
+    fl1 = chunk_any(s1_sw, nc1)
+
+    def chunk_rows_over(cb, kmax_x):
+        r0 = (cb[:, :-1] & MASK31) >> 12
+        last = ((((cb[:, 1:] & MASK31) - 1) >> 5) + 2) >> 7
+        return (jnp.maximum(last, r0) - r0 + 1) > kmax_x
+
+    overflow = chunk_rows_over(cb2, kmax).any(axis=-1) \
+        | (chunk_rows_over(cb1, kmax1) & fl1).any(axis=-1)
+
+    neg = jnp.int32(-2147483648)
+    cb2 = cb2.at[:, :nc2].set(
+        jnp.where(fl2, cb2[:, :nc2] | neg, cb2[:, :nc2]))
+    cb1 = cb1.at[:, :nc1].set(
+        jnp.where(fl1, cb1[:, :nc1] | neg, cb1[:, :nc1]))
+    return (mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1), overflow
+
+
+MASK31 = 2147483647
+
+
 def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
                        cfg: FrameConfig, debug: bool = False,
                        backend: str = "auto"):
@@ -341,55 +557,45 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
 
     if debug:
         return lengths, leading, payload
-    # ---- aligned payload parts ----------------------------------------
-    offsets = _exclusive_cumsum_hier(lengths)
-    paylen = lengths - leading
-    paystart = offsets + leading
-    w0 = (paystart >> 5).astype(i32)
-    inword = paystart & 31
-
-    t = paylen + inword                            # 1..63 when active
-    first = t <= 32
-    # shifts as uint32 so nothing promotes to (TPU-emulated) int64
-    sh_hi1 = jnp.clip(32 - t, 0, 31).astype(u32)
-    sh_hi2 = jnp.clip(t - 32, 0, 31).astype(u32)
-    sh_lo = jnp.clip(64 - t, 1, 31).astype(u32)
-    hi32 = jnp.where(first, payload << sh_hi1, payload >> sh_hi2)
-    lo32 = jnp.where(first, u32(0), payload << sh_lo)
-    active = paylen > 0
-    hi32 = jnp.where(active, hi32, u32(0))
-    lo32 = jnp.where(active, lo32, u32(0))
 
     wr = word_rows(cfg)
     W = wr * 128
     if backend == "auto":
         backend = "kernel" if jax.default_backend() == "tpu" else "xla"
     if backend in ("kernel", "kernel_interp"):
-        # Pallas merge: slots chunked on sublanes, one-hot row windows
-        # (see ops/pallas_bitmerge.py) — XLA's gather/cumsum lowerings
-        # cost ~100x more at these shapes
+        # Pallas merge over combined slot nodes: pair+quad combining
+        # shrinks the chunk count ~4x, then one MXU one-hot matmul per
+        # (chunk, row) places the payload words (pallas_bitmerge.py).
         from flake_tpu.ops import pallas_bitmerge
 
-        M = lengths.shape[-1]
-        nc = -(-M // 128)
-        Mp = nc * 128
-
-        def to_chunks(x, fill):
-            if Mp != M:
-                x = jnp.pad(x, ((0, 0), (0, Mp - M)),
-                            constant_values=fill)
-            return jnp.transpose(x.reshape(F, nc, 128), (0, 2, 1))
-
-        w0t = to_chunks(w0, 0)
-        hit = to_chunks(hi32.astype(i32), 0)
-        lot = to_chunks(lo32.astype(i32), 0)
-        bit_bounds = offsets[:, ::128]                  # [F, nc]
-        chunk_bits = jnp.concatenate(
-            [bit_bounds, total_bits[:, None]], axis=-1).astype(i32)
-        words3 = pallas_bitmerge.merge_words(
-            w0t, hit, lot, chunk_bits, wr=wr,
+        kmax, kmax1 = kmax_for(cfg)
+        parts, overflow = build_combined_parts(
+            lengths, leading, payload, total_bits, kmax, kmax1)
+        mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1 = parts
+        words3 = pallas_bitmerge.merge_combined(
+            mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1, wr=wr,
+            kmax=kmax, kmax1=kmax1,
             interpret=backend == "kernel_interp")
+        return words3, total_bits.astype(i32), overflow
     elif backend == "xla":
+        # ---- aligned payload parts (2-word spans) ---------------------
+        offsets = _exclusive_cumsum_hier(lengths)
+        paylen = lengths - leading
+        paystart = offsets + leading
+        w0 = (paystart >> 5).astype(i32)
+        inword = paystart & 31
+
+        t = paylen + inword                        # 1..63 when active
+        first = t <= 32
+        # shifts as uint32 so nothing promotes to (emulated) int64
+        sh_hi1 = jnp.clip(32 - t, 0, 31).astype(u32)
+        sh_hi2 = jnp.clip(t - 32, 0, 31).astype(u32)
+        sh_lo = jnp.clip(64 - t, 1, 31).astype(u32)
+        hi32 = jnp.where(first, payload << sh_hi1, payload >> sh_hi2)
+        lo32 = jnp.where(first, u32(0), payload << sh_lo)
+        active = paylen > 0
+        hi32 = jnp.where(active, hi32, u32(0))
+        lo32 = jnp.where(active, lo32, u32(0))
         ex_hi = jnp.concatenate(
             [jnp.zeros((F, 1), u32), jnp.cumsum(hi32, axis=-1)],
             axis=-1)
@@ -406,7 +612,8 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
             .reshape(F, wr, 128)
     else:
         raise ValueError(f"bad merge backend {backend!r}")
-    return words3, total_bits.astype(i32)
+    return words3, total_bits.astype(i32), \
+        jnp.zeros((F,), jnp.bool_)
 
 
 def words_to_slot_bytes(words3):
@@ -432,11 +639,11 @@ def analyze_and_pack_jit(samples, cfg: FrameConfig, hdr_bits, hdr_bytes,
 
     samples = samples.astype(jnp.int32)
     analysis = analyze_frames(samples, cfg, hdr_bits)
-    words, total_bits = pack_frames_device(analysis, hdr_bytes,
-                                           hdr_nbytes, cfg,
-                                           backend=backend)
+    words, total_bits, overflow = pack_frames_device(
+        analysis, hdr_bytes, hdr_nbytes, cfg, backend=backend)
     return {"words": words, "total_bits": total_bits,
-            "frame_bytes": analysis["frame_bytes"]}
+            "frame_bytes": analysis["frame_bytes"],
+            "overflow": jnp.any(overflow)}
 
 
 GRANULE_BYTES = 4096  # one [8, 128] int32 tile

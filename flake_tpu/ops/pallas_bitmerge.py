@@ -41,10 +41,172 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+MASK31 = 2147483647
 
 
 def _z():
     return jnp.int32(0)
+
+
+# ---------------------------------------------------------------------------
+# v5 merge (round 5): combined <=64-bit slot nodes, MXU one-hot matmuls
+# ---------------------------------------------------------------------------
+#
+# ops/bitpack.py combines adjacent slots twice (pair -> quad, 64-bit
+# payload cap, spills to full-capacity side arrays), so the kernel sees
+# ~M/4 main nodes whose payloads span <= 3 words. Per 128-node chunk
+# and output row, placement is ONE one-hot f32 matmul on the MXU:
+# the node payload words are split into 8-bit quarters (12 value rows,
+# exact in bf16 since disjoint-field sums stay < 256 per quarter) and
+# multiplied against the transposed one-hot (rel == sublane-iota); the
+# B/C word contributions are lane-rolled +1/+2 with carries threaded
+# across the chunk's static rows. No gathers, no scatters, no fori
+# loops, chunk-level pl.when only for the ~empty spill sets.
+#
+# Static row count per chunk (kmax) is derived from the config's worst
+# average code length; content exceeding it (pathological Rice runs
+# that still beat verbatim) is detected in XLA (`overflow`) and the
+# caller re-packs that batch through the exact XLA formulation.
+
+_f32 = jnp.float32
+
+
+def _vals12(arow, brow, crow):
+    """[16, 128] f32 value rows: 8-bit quarters of the A/B/C words
+    (bf16-exact on the MXU), padded to 16 sublanes."""
+    i32 = jnp.int32
+    m8 = i32(0xFF)
+    rows = []
+    for w in (arow, brow, crow):
+        if w is None:
+            z = jnp.zeros_like(rows[0])
+            rows += [z, z, z, z]
+        else:
+            rows += [((w >> 24) & m8).astype(_f32),
+                     ((w >> 16) & m8).astype(_f32),
+                     ((w >> 8) & m8).astype(_f32),
+                     (w & m8).astype(_f32)]
+    z = jnp.zeros_like(rows[0])
+    return jnp.concatenate(rows + [z] * 4, axis=0)
+
+
+def _roll(x, k, interpret):
+    if interpret:
+        return jnp.roll(x, k, axis=1)
+    return pltpu.roll(x, jnp.int32(k), axis=1)
+
+
+def _mxu_chunk(out_ref, fi, wrow, vals, row0, *, kmax, interpret):
+    i32 = jnp.int32
+    iota0 = jax.lax.broadcasted_iota(i32, (LANE, LANE), 0)
+    lane = jax.lax.broadcasted_iota(i32, (1, LANE), 1)
+    zrow = jnp.zeros((1, LANE), i32)
+
+    def dorow(dr, prev_rb, prev_rc):
+        rel = wrow - (row0 + dr) * LANE           # [1, 128] nodes
+        ohT = jnp.where(rel == iota0, _f32(1.0), _f32(0.0))
+        mm = jax.lax.dot_general(
+            vals, ohT, (((1,), (1,)), ((), ())),
+            preferred_element_type=_f32)
+        r = mm.astype(i32)
+        a = (r[0:1] << 24) + (r[1:2] << 16) + (r[2:3] << 8) + r[3:4]
+        b = (r[4:5] << 24) + (r[5:6] << 16) + (r[6:7] << 8) + r[7:8]
+        cc = (r[8:9] << 24) + (r[9:10] << 16) + (r[10:11] << 8) \
+            + r[11:12]
+        rb = _roll(b, 1, interpret)
+        rc = _roll(cc, 2, interpret)
+        win = a + jnp.where(lane >= 1, rb, zrow) \
+            + jnp.where(lane >= 2, rc, zrow) \
+            + jnp.where(lane < 1, prev_rb, zrow) \
+            + jnp.where(lane < 2, prev_rc, zrow)
+        cur = out_ref[fi, pl.ds(row0 + dr, 1), :]
+        out_ref[fi, pl.ds(row0 + dr, 1), :] = cur + win
+        return rb, rc
+
+    rb, rc = dorow(0, zrow, zrow)
+    for dr in range(1, kmax):
+        rb, rc = dorow(dr, rb, rc)
+
+
+def _merge_combined_kernel(cb2_ref, cb1_ref,
+                           mw_ref, ma_ref, mb_ref, mc_ref,
+                           s2w_ref, s2a_ref, s2b_ref, s2c_ref,
+                           s1w_ref, s1a_ref, s1b_ref,
+                           out_ref, *, nc2, nc1, fb, wr, kmax, kmax1,
+                           interpret):
+    i32 = jnp.int32
+    g = pl.program_id(0)
+    out_ref[...] = jnp.zeros((fb, wr, LANE), i32)
+
+    for fi in range(fb):
+        f = g * fb + fi
+        for c in range(nc2):
+            row0 = (cb2_ref[f, c] & i32(MASK31)) >> i32(12)
+            vals = _vals12(ma_ref[fi, c:c + 1, :],
+                           mb_ref[fi, c:c + 1, :],
+                           mc_ref[fi, c:c + 1, :])
+            _mxu_chunk(out_ref, fi, mw_ref[fi, c:c + 1, :], vals,
+                       row0, kmax=kmax, interpret=interpret)
+
+            @pl.when(cb2_ref[f, c] < 0)
+            def _(fi=fi, c=c, row0=row0):
+                sv = _vals12(s2a_ref[fi, c:c + 1, :],
+                             s2b_ref[fi, c:c + 1, :],
+                             s2c_ref[fi, c:c + 1, :])
+                _mxu_chunk(out_ref, fi, s2w_ref[fi, c:c + 1, :], sv,
+                           row0, kmax=kmax, interpret=interpret)
+
+        for c in range(nc1):
+            @pl.when(cb1_ref[f, c] < 0)
+            def _(fi=fi, c=c):
+                row0 = (cb1_ref[f, c] & i32(MASK31)) >> i32(12)
+                sv = _vals12(s1a_ref[fi, c:c + 1, :],
+                             s1b_ref[fi, c:c + 1, :], None)
+                _mxu_chunk(out_ref, fi, s1w_ref[fi, c:c + 1, :], sv,
+                           row0, kmax=kmax1, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("wr", "kmax", "kmax1",
+                                             "interpret"))
+def merge_combined(mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1, *,
+                   wr: int, kmax: int, kmax1: int,
+                   interpret: bool = False):
+    """Merge combined slot nodes into per-frame word blocks.
+
+    mainw/sp2w/sp1w int32 [F, nc, 128]: node target word (w0), row
+    layout (node-in-chunk on lanes). mainr/sp2r: (A, B, C) aligned
+    word contributions, same layout; sp1r: (A, B) only (<=32-bit
+    payloads span 2 words). cb2/cb1 int32 [F, nc+1]: chunk-boundary
+    bit cursors with the spill-set activity flag in the sign bit.
+    Returns int32 [F, wr, 128] (same contract as :func:`merge_words`).
+    """
+    F = mainw.shape[0]
+    nc2 = mainw.shape[1]
+    nc1 = sp1w.shape[1]
+    # interpret mode (CPU tests) executes the kernel as one giant XLA
+    # graph per program: keep it per-frame so the unrolled body stays
+    # small enough for XLA:CPU's JIT code allocator
+    fb = 1 if interpret else next(b for b in (16, 8, 4, 2, 1)
+                                  if F % b == 0)
+    kernel = functools.partial(
+        _merge_combined_kernel, nc2=nc2, nc1=nc1, fb=fb, wr=wr,
+        kmax=kmax, kmax1=kmax1, interpret=interpret)
+
+    def rspec(ncx):
+        return pl.BlockSpec((fb, ncx, LANE),
+                            lambda i, *_: (i, _z(), _z()))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(F // fb,),
+        in_specs=[rspec(nc2)] * 8 + [rspec(nc1)] * 3,
+        out_specs=pl.BlockSpec((fb, wr, LANE),
+                               lambda i, *_: (i, _z(), _z())))
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, wr, LANE), jnp.int32),
+        interpret=interpret,
+    )(cb2, cb1, mainw, *mainr, sp2w, *sp2r, sp1w, *sp1r)
 
 
 def _merge_kernel(cb_ref, w0t_ref, hit_ref, lot_ref, out_ref, *,

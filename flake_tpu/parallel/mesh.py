@@ -559,23 +559,28 @@ def make_sharded_packer(cfg: FrameConfig, mesh: Mesh,
             sub["residual"] = res
             hb = jax.lax.dynamic_slice_in_dim(hdr_bytes_l, r * fs, fs, 0)
             hn = jax.lax.dynamic_slice_in_dim(hdr_nb_l, r * fs, fs, 0)
-            words, tb = bitpack.pack_frames_device(sub, hb, hn, cfg,
-                                                   backend=backend)
+            words, tb, ovf = bitpack.pack_frames_device(
+                sub, hb, hn, cfg, backend=backend)
             fb_l = sub["frame_bytes"]
         else:
             out = analyze_frames(samples_l, cfg, hdr_bits_l)
-            words, tb = bitpack.pack_frames_device(
+            words, tb, ovf = bitpack.pack_frames_device(
                 out, hdr_bytes_l, hdr_nb_l, cfg, backend=backend)
             fb_l = out["frame_bytes"]
         gmax = jax.lax.pmax(jnp.max(out["frame_bytes"]), "dp")
         if sp > 1:
             gmax = jax.lax.pmax(gmax, "sp")
+        ov_any = jnp.any(ovf)
+        ov_any = jax.lax.pmax(ov_any.astype(jnp.int32), "dp")
+        if sp > 1:
+            ov_any = jax.lax.pmax(ov_any, "sp")
         return {"words": words, "total_bits": tb, "frame_bytes": fb_l,
-                "global_max_frame_bytes": gmax}
+                "global_max_frame_bytes": gmax,
+                "overflow": ov_any > 0}
 
     fspec = PS(("dp", "sp")) if use_sp else PS("dp")
     out_spec = {"words": fspec, "total_bits": fspec, "frame_bytes": fspec,
-                "global_max_frame_bytes": PS()}
+                "global_max_frame_bytes": PS(), "overflow": PS()}
     in_samples = PS("dp", "sp") if use_sp else PS("dp")
     shard = jax.shard_map(
         local, mesh=mesh,

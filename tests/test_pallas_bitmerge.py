@@ -31,9 +31,9 @@ def _analyzed(level, n, F, seed, bps=16, loud=8000):
 @pytest.mark.parametrize("level,n", [(2, 4096), (5, 4608), (8, 4096)])
 def test_merge_kernel_matches_xla(level, n):
     an, cfg, hb, hn = _analyzed(level, n, 4, seed=level)
-    w_xla, tb1 = bitpack.pack_frames_device(
+    w_xla, tb1, _ = bitpack.pack_frames_device(
         an, jnp.asarray(hb), jnp.asarray(hn), cfg, backend="xla")
-    w_ker, tb2 = bitpack.pack_frames_device(
+    w_ker, tb2, _ = bitpack.pack_frames_device(
         an, jnp.asarray(hb), jnp.asarray(hn), cfg,
         backend="kernel_interp")
     assert np.array_equal(np.asarray(tb1), np.asarray(tb2))
@@ -44,9 +44,9 @@ def test_merge_kernel_verbatim_and_24bit():
     # loud 24-bit noise: RICE2 params, long codes, verbatim fallback
     an, cfg, hb, hn = _analyzed(8, 4096, 4, seed=3, bps=24,
                                 loud=1 << 23)
-    w_xla, _ = bitpack.pack_frames_device(
+    w_xla, _, _ = bitpack.pack_frames_device(
         an, jnp.asarray(hb), jnp.asarray(hn), cfg, backend="xla")
-    w_ker, _ = bitpack.pack_frames_device(
+    w_ker, _, _ = bitpack.pack_frames_device(
         an, jnp.asarray(hb), jnp.asarray(hn), cfg,
         backend="kernel_interp")
     assert np.array_equal(np.asarray(w_xla), np.asarray(w_ker))
@@ -54,7 +54,7 @@ def test_merge_kernel_verbatim_and_24bit():
 
 def test_granule_gather_reassembles_frames():
     an, cfg, hb, hn = _analyzed(5, 4096, 5, seed=9)
-    words, tb = bitpack.pack_frames_device(
+    words, tb, _ = bitpack.pack_frames_device(
         an, jnp.asarray(hb), jnp.asarray(hn), cfg, backend="xla")
     fb = (np.asarray(tb) // 8).astype(np.int64)
     n_live = 4                       # treat the last frame as padding

@@ -229,7 +229,7 @@ def test_sharded_device_emission_bitwise():
 
     dense = analyze_frames(jnp.asarray(samples), cfg,
                            jnp.asarray(hdr_bits))
-    w_ref, tb_ref = bitpack.pack_frames_device(
+    w_ref, tb_ref, _ = bitpack.pack_frames_device(
         dense, jnp.asarray(hb), jnp.asarray(hn), cfg)
 
     for sp in (1, 2):

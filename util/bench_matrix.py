@@ -151,7 +151,7 @@ def main() -> int:
 
         def f_emit(x):
             out = analyze_frames(x, cfg, hdr_bits)
-            words, tb = bitpack.pack_frames_device(out, hbj, hnj, cfg)
+            words, tb, _ = bitpack.pack_frames_device(out, hbj, hnj, cfg)
             return jnp.sum(tb.astype(jnp.int64)) \
                 + jnp.sum(words[:, ::7, ::11].astype(jnp.int64))
 
