@@ -114,14 +114,15 @@ def _select_order_log(bits_all, min_order: int, max_order: int):
     arange = jnp.arange(max_order, dtype=jnp.int32)
 
     def bits_at(i):
-        return jnp.take_along_axis(bits_all, i[..., None]
-                                   .clip(0, max_order - 1),
-                                   axis=-1)[..., 0]
+        # one-hot select instead of take_along_axis: TPU gathers cost
+        # ~15us each even at [N, 1] shapes, and this loop issues ~45
+        # of them — masked max over the 12-32 wide order axis is free
+        m = arange == i[..., None].clip(0, max_order - 1)
+        return jnp.max(jnp.where(m, bits_all, 0), axis=-1)
 
     def visited_at(i):
-        return jnp.take_along_axis(visited, i[..., None]
-                                   .clip(0, max_order - 1),
-                                   axis=-1)[..., 0]
+        m = arange == i[..., None].clip(0, max_order - 1)
+        return jnp.any(visited & m, axis=-1)
 
     for step in (16, 8, 4, 2, 1):
         last = opt
@@ -445,11 +446,13 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
 
         order = select_order(cfg, bits_all, refs, (N,))
 
-        row = (order - 1)[..., None]
-        coefs = jnp.take_along_axis(
-            qcoefs, row[..., None].clip(0, max_o - 1), axis=-2)[..., 0, :]
-        shift = jnp.take_along_axis(shifts, row.clip(0, max_o - 1),
-                                    axis=-1)[..., 0]
+        # one-hot row select (gather-free: TPU gathers are scalar-unit
+        # bound; a 12-32 way masked sum is a handful of fused selects)
+        oh_row = (jnp.arange(max_o, dtype=jnp.int32)
+                  == (order - 1)[..., None].clip(0, max_o - 1))
+        coefs = jnp.sum(jnp.where(oh_row[..., None], qcoefs, 0),
+                        axis=-2)
+        shift = jnp.sum(jnp.where(oh_row, shifts, 0), axis=-1)
         res = predict.residual_lpc_dynamic(cN, coefs, shift, order,
                                            max_o, narrow=cfg.bps <= 16)
         rc = calc_rice_params_dynamic(res, n, order, pmin, pmax)

@@ -387,11 +387,12 @@ def analyze_frames_sp(samples_l, cfg: FrameConfig, hdr_bits,
 
     order = select_order(cfg, bits_all, refs, (N,))
 
-    row = (order - 1)[..., None]
-    coefs = jnp.take_along_axis(
-        qcoefs, row[..., None].clip(0, max_o - 1), axis=-2)[..., 0, :]
-    shift = jnp.take_along_axis(shifts, row.clip(0, max_o - 1),
-                                axis=-1)[..., 0]
+    # gather-free one-hot row select (mirrors frame.py: TPU gathers
+    # are scalar-unit bound, a masked sum over <=32 orders is free)
+    oh_row = (jnp.arange(max_o, dtype=jnp.int32)
+              == (order - 1)[..., None].clip(0, max_o - 1))
+    coefs = jnp.sum(jnp.where(oh_row[..., None], qcoefs, 0), axis=-2)
+    shift = jnp.sum(jnp.where(oh_row, shifts, 0), axis=-1)
     res = _residual_sp(ext, cN, coefs, shift, order, max_o, rank, b_l,
                        narrow)
 
