@@ -94,15 +94,9 @@ class Encoder:
         if pack_backend not in ("auto", "device", "host"):
             raise ValueError(f"bad pack_backend {pack_backend!r}")
         self.pack_backend = pack_backend
-        if pack_backend == "device":
-            # fail at construction, not first encode
-            from flake_tpu.ops import bitpack
-            from flake_tpu.ops.frame import FrameConfig
-            if not bitpack.supports(FrameConfig.from_params(
-                    cfg.params, cfg.channels, cfg.bits_per_sample)):
-                raise ValueError(
-                    "config unsupported by the device packer "
-                    "(sample field wider than 32 bits)")
+        # round 5: the device packer covers every legal config (wide
+        # sample fields split into slot pairs), so pack_backend="device"
+        # no longer has an unsupported-config failure mode
         self._sharded_analyzers: dict = {}
         self._sharded_packers: dict = {}
         if mesh is not None:
@@ -299,11 +293,7 @@ class Encoder:
 
         if self.pack_backend == "host":
             return False
-        ok = bitpack.supports(cfg)
-        if self.pack_backend == "device" and not ok:
-            raise ValueError("config unsupported by the device packer "
-                             "(sample field wider than 32 bits)")
-        return ok
+        return bitpack.supports(cfg)
 
     def _get_sharded_packer(self, cfg):
         """(run, gather, nshards) for mesh-sharded device emission —

@@ -33,9 +33,10 @@ batched over frames. CRC-8/CRC-16 placeholders are emitted as zeros and
 patched on host over the final bytes (flake_crc_patch), which is the
 only remaining host byte-touching.
 
-Caveat: payloads are capped at 32 bits, so configurations whose
-sample fields exceed 32 bits (bps 32 stereo -> 33-bit side channel)
-fall back to the host packer (``supports``).
+Slot payloads are capped at 32 bits; sample fields that can exceed it
+(bps-32 stereo's 33-bit side channel) are emitted as (hi, lo) slot
+pairs that the round-5 slot combiner re-joins into one 64-bit payload
+node, so every legal config packs on device (``supports``).
 """
 
 from __future__ import annotations
@@ -56,10 +57,17 @@ HDR_SLOTS = 16  # max header bytes: 4 fixed + 7 utf8 + 2 + 2 + crc8
 
 
 def supports(cfg: FrameConfig) -> bool:
-    """Device emission covers every config whose widest single field
-    fits a 32-bit payload: obits = bps (+1 for a side channel)."""
-    ob_max = cfg.bps + (1 if cfg.channels == 2 else 0)
-    return ob_max <= 32
+    """Device emission covers every legal config: fields wider than 32
+    bits (bps-32 stereo's 33-bit side channel, encode.c:676-693) are
+    emitted as two adjacent slots (hi 17 / lo 16) that the slot
+    combiner re-joins into one 64-bit payload node."""
+    return True
+
+
+def _split_wide(cfg: FrameConfig) -> bool:
+    """Whether sample fields may exceed a 32-bit payload (config
+    static): obits = bps (+1 for a side channel)."""
+    return cfg.bps + (1 if cfg.channels == 2 else 0) > 32
 
 
 def slot_bytes(cfg: FrameConfig) -> int:
@@ -427,7 +435,25 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
     is_lpc = sf == SF_LPC
     is_verb = sf == SF_VERBATIM
     is_const = sf == SF_CONSTANT
-    ob_mask = (u32(0xFFFFFFFF) >> (32 - obits).astype(u32))  # ob >= 1
+    wide = _split_wide(cfg)                        # obits may reach 33
+    if not wide:
+        ob_mask = (u32(0xFFFFFFFF)
+                   >> (32 - obits).astype(u32))    # ob >= 1
+    else:
+        # sample fields split into (hi, lo) slot pairs; the hi part is
+        # the int32 value ARITHMETIC-shifted (sign extension supplies
+        # bit 32 of a 33-bit field, matching the host BitWriter's
+        # sign-extended int64 write)
+        ob_lo = jnp.minimum(obits, 16)[..., None]  # [F, C, 1]
+        ob_hi = obits[..., None] - ob_lo
+        lo_mask = (u32(1) << ob_lo.astype(u32)) - 1
+        hi_mask = (u32(1) << ob_hi.astype(u32)) - 1
+
+    def field_hi(vals):
+        return (vals >> ob_lo).astype(u32) & hi_mask
+
+    def field_lo(vals):
+        return vals.astype(u32) & lo_mask
 
     # ---- per-channel fixed slots --------------------------------------
     # subframe header byte: pad(0) + 6-bit type code + wasted flag
@@ -443,10 +469,20 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
     j32 = jnp.arange(32)
     warm_active = (pred[..., None] & (j32 < order[..., None])) \
         | (is_const[..., None] & (j32 == 0))
-    warm_len = jnp.where(warm_active, obits[..., None], 0)
-    warm_pay = jnp.where(warm_active,
-                         res[..., :32].astype(u32) & ob_mask[..., None],
-                         u32(0))
+    if not wide:
+        warm_len = jnp.where(warm_active, obits[..., None], 0)
+        warm_pay = jnp.where(warm_active,
+                             res[..., :32].astype(u32)
+                             & ob_mask[..., None], u32(0))
+    else:
+        # (hi, lo) slot pairs -> 64 warm slots
+        w32 = res[..., :32]
+        wh_len = jnp.where(warm_active, ob_hi, 0)
+        wh_pay = jnp.where(warm_active, field_hi(w32), u32(0))
+        wl_len = jnp.where(warm_active, ob_lo, 0)
+        wl_pay = jnp.where(warm_active, field_lo(w32), u32(0))
+        warm_len = jnp.stack([wh_len, wl_len], -1).reshape(F, C, 64)
+        warm_pay = jnp.stack([wh_pay, wl_pay], -1).reshape(F, C, 64)
 
     # LPC header (4-bit precision-1 + 5-bit shift) and coefficients
     lpch_len = jnp.where(is_lpc, 9, 0)[..., None]
@@ -494,21 +530,42 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
     # clip only tames masked-out lanes (verbatim/constant frames)
     q_i = jnp.minimum(q, u32(1 << 24)).astype(i32)
     rice_active = pred[..., None] & (jn >= order[..., None])
-    samp_len = jnp.where(
-        rice_active, q_i + 1 + k_j.astype(i32),
-        jnp.where(is_verb[..., None], obits[..., None], 0))
-    samp_lead = jnp.where(rice_active, q_i, 0)
-    samp_pay = jnp.where(
-        rice_active, (u32(1) << k_j) | (zig & ((u32(1) << k_j) - 1)),
-        jnp.where(is_verb[..., None], res.astype(u32)
-                  & ob_mask[..., None], u32(0)))
+    rice_pay = (u32(1) << k_j) | (zig & ((u32(1) << k_j) - 1))
+    if not wide:
+        samp_len = jnp.where(
+            rice_active, q_i + 1 + k_j.astype(i32),
+            jnp.where(is_verb[..., None], obits[..., None], 0))
+        samp_lead = jnp.where(rice_active, q_i, 0)
+        samp_pay = jnp.where(
+            rice_active, rice_pay,
+            jnp.where(is_verb[..., None], res.astype(u32)
+                      & ob_mask[..., None], u32(0)))
+        spg = gs
+    else:
+        # each sample is a (hi, lo) slot pair: a Rice code rides whole
+        # in the hi slot (payload <= 31 bits), a verbatim sample splits
+        sh_len = jnp.where(
+            rice_active, q_i + 1 + k_j.astype(i32),
+            jnp.where(is_verb[..., None], ob_hi, 0))
+        sh_lead = jnp.where(rice_active, q_i, 0)
+        sh_pay = jnp.where(
+            rice_active, rice_pay,
+            jnp.where(is_verb[..., None], field_hi(res), u32(0)))
+        sl_len = jnp.broadcast_to(
+            jnp.where(is_verb[..., None], ob_lo, 0), (F, C, n))
+        sl_pay = jnp.where(is_verb[..., None], field_lo(res), u32(0))
+        zl = jnp.zeros_like(sl_len)
+        samp_len = jnp.stack([sh_len, sl_len], -1).reshape(F, C, 2 * n)
+        samp_lead = jnp.stack([sh_lead, zl], -1).reshape(F, C, 2 * n)
+        samp_pay = jnp.stack([sh_pay, sl_pay], -1).reshape(F, C, 2 * n)
+        spg = 2 * gs
 
-    # interleave: [param_g][gs sample slots] per partition-grid group
+    # interleave: [param_g][sample slots] per partition-grid group
     def interleave(par, samp):
         par = par.reshape(F, C, G, 1)
-        samp = samp.reshape(F, C, G, gs)
+        samp = samp.reshape(F, C, G, spg)
         return jnp.concatenate([par, samp], axis=-1) \
-            .reshape(F, C, G * (1 + gs))
+            .reshape(F, C, G * (1 + spg))
 
     zeros_g = jnp.zeros_like(param_len)
     body_len = interleave(param_len, samp_len)
@@ -519,8 +576,9 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
         [subhdr_len, unary_len, warm_len, lpch_len, coef_len,
          riceh_len, body_len], axis=-1)            # [F, C, M_ch]
     M_ch = ch_len.shape[-1]
+    n_fixed = 68 + (32 if wide else 0)     # fixed slots have no lead
     ch_lead = jnp.concatenate(
-        [jnp.zeros((F, C, 68), i32), body_lead], axis=-1)
+        [jnp.zeros((F, C, n_fixed), i32), body_lead], axis=-1)
     ch_pay = jnp.concatenate(
         [subhdr_pay, unary_pay, warm_pay, lpch_pay, coef_pay,
          riceh_pay, body_pay], axis=-1)

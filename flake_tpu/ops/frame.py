@@ -282,6 +282,14 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
     # -- stereo decorrelation (encode.c:648-694) -------------------------
     if C == 2 and n > 32 and cfg.stereo_method == P.StereoMethod.ESTIMATE:
         mode = stereo.decorr_mode(chans[:, 0], chans[:, 1], n, cfg.bps)
+        if cfg.bps >= 32:
+            # a 33-bit side value cannot ride the int32 residual
+            # pipeline: veto side modes for frames where |l - r| would
+            # overflow (mirrored in the scalar oracle for parity)
+            over = jnp.max(jnp.abs(chans[:, 0].astype(jnp.int64)
+                                   - chans[:, 1].astype(jnp.int64)),
+                           axis=-1) >= (1 << 31)
+            mode = jnp.where(over, stereo.LEFT_RIGHT, mode)
         ch0, ch1, extra = stereo.apply_decorr(chans[:, 0], chans[:, 1],
                                               mode, cfg.bps)
         chans = jnp.stack([ch0, ch1], axis=1)

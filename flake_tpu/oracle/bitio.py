@@ -44,9 +44,14 @@ class BitWriter:
             self.buf.append((self.acc >> self.nacc) & 0xFF)
 
     def writebits_signed(self, bits: int, val: int) -> None:
-        """Two's-complement write (bitio.h:113-118)."""
-        assert 0 <= bits <= 31
-        self.writebits(bits, val & ((1 << bits) - 1))
+        """Two's-complement write (bitio.h:113-118); fields up to 33
+        bits (bps-32 stereo side channel) split into two stores."""
+        assert 0 <= bits <= 33
+        if bits > 32:
+            self.writebits(bits - 16, (val >> 16) & ((1 << (bits - 16)) - 1))
+            self.writebits(16, val & 0xFFFF)
+        else:
+            self.writebits(bits, val & ((1 << bits) - 1))
 
     def write_rice_signed(self, k: int, val: int) -> None:
         """Zigzag + unary quotient + k-bit remainder (bitio.h:120-141)."""

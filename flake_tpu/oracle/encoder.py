@@ -562,6 +562,13 @@ class OracleEncoder:
                 CH_MID_SIDE][best]
         l32 = subframes[0].samples
         r32 = subframes[1].samples
+        if mode != CH_LEFT_RIGHT and subframes[0].obits >= 32:
+            # bps-32 guard (mirrors ops/frame.py): a 33-bit side value
+            # can exceed the int32 the analysis pipeline carries; veto
+            # side modes for frames where |l - r| would overflow
+            if np.abs(l32.astype(np.int64)
+                      - r32.astype(np.int64)).max() >= (1 << 31):
+                mode = CH_LEFT_RIGHT
         if mode == CH_MID_SIDE:
             mid = ((l32.astype(np.int64) + r32) >> 1).astype(np.int32)
             side = (l32.astype(np.int64) - r32).astype(np.int32)

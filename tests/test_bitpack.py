@@ -124,24 +124,54 @@ def test_device_pack_vbs_superblocks():
     assert d.md5_ok and np.array_equal(d.samples, pcm)
 
 
-def test_device_pack_rejects_unsupported():
+def test_device_pack_bps32_stereo_split_fields():
+    """bps-32 stereo (33-bit side fields, encode.c:676-693): sample
+    fields wider than 32 bits emit as (hi, lo) slot pairs that the
+    combiner re-joins — byte parity vs the host packer (round 5)."""
     from flake_tpu.ops.bitpack import supports
     from flake_tpu.ops.frame import FrameConfig
 
     p = P.set_defaults(5)
-    assert not supports(FrameConfig.from_params(p, 2, 32))
-    assert supports(FrameConfig.from_params(p, 1, 32))
-    assert supports(FrameConfig.from_params(p, 2, 31))
-    cfg = P.StreamConfig(channels=2, sample_rate=44100,
-                         bits_per_sample=32, samples=4096,
-                         params=p)
-    with pytest.raises(ValueError):
-        Encoder(cfg, pack_backend="device")
-    # auto silently falls back to host for bps-32 stereo
-    enc = Encoder(cfg, pack_backend="auto")
+    assert supports(FrameConfig.from_params(p, 2, 32))
+    n = 2 * 4096
     rng = np.random.default_rng(0)
-    pcm = rng.integers(-(1 << 29), 1 << 29, size=(4096, 2)) \
+    # correlated loud channels: decorr picks a side mode -> obits 33
+    base = (np.sin(np.arange(n) * 0.002) * (1 << 29)).astype(np.int64)
+    l = base + rng.integers(-(1 << 20), 1 << 20, n)
+    r = base + rng.integers(-(1 << 20), 1 << 20, n)
+    lim = (1 << 31) - 1
+    pcm = np.clip(np.stack([l, r], 1), -lim - 1, lim).astype(np.int32)
+    cfg = P.StreamConfig(channels=2, sample_rate=44100,
+                         bits_per_sample=32, samples=n, params=p)
+    host, dev = _encode_both(pcm, cfg)
+    assert host == dev
+    d = decode_stream(dev)
+    assert d.md5_ok and np.array_equal(d.samples, pcm)
+
+    # independent noise (LEFT_RIGHT, 32-bit verbatim-ish fields)
+    pcm2 = rng.integers(-(1 << 29), 1 << 29, size=(4096, 2)) \
         .astype(np.int32)
-    blob = enc.encode_stream(pcm)
-    d = decode_stream(blob)
+    cfg2 = P.StreamConfig(channels=2, sample_rate=44100,
+                          bits_per_sample=32, samples=4096, params=p)
+    host2, dev2 = _encode_both(pcm2, cfg2)
+    assert host2 == dev2
+    d2 = decode_stream(dev2)
+    assert d2.md5_ok and np.array_equal(d2.samples, pcm2)
+
+
+def test_bps32_side_overflow_veto_lossless():
+    """|l - r| >= 2^31 cannot ride the int32 residual pipeline: frames
+    like that must veto side modes (both the batched path and the
+    scalar oracle tail) and still round-trip losslessly."""
+    n = 4096 + 777                   # forces an oracle-encoded tail
+    rng = np.random.default_rng(2)
+    l = rng.integers((1 << 30), (1 << 31) - 1, n)
+    r = rng.integers(-(1 << 31), -(1 << 30), n)
+    pcm = np.stack([l, r], 1).astype(np.int32)
+    cfg = P.StreamConfig(channels=2, sample_rate=44100,
+                         bits_per_sample=32, samples=n,
+                         params=P.set_defaults(8))
+    host, dev = _encode_both(pcm, cfg)
+    assert host == dev
+    d = decode_stream(dev)
     assert d.md5_ok and np.array_equal(d.samples, pcm)
