@@ -363,21 +363,26 @@ def analyze_frames(samples, cfg: FrameConfig, hdr_bits=None):
         if ac_mode not in ("auto", "exact", "dd", "pallas",
                            "pallas_interp"):
             raise ValueError(f"bad autocorr_mode {ac_mode!r}")
-        # mid/side adds one bit: samples fit f32 exactly iff bps+1 <= 24
+        # mid/side adds one bit: samples fit f32 exactly iff bps+1 <= 24;
+        # wider content uses the kernel's limb-split prologue (round 5)
         dd_ok = cfg.bps <= 23 and cfg.lpc_dtype == "float64"
+        ac_wide = cfg.bps > 23
         if ac_mode == "auto":
-            if not dd_ok:
+            if cfg.lpc_dtype != "float64":
                 ac_mode = "exact"
             elif (jax.default_backend() == "tpu"
                   and pallas_autocorr.supports(n, max_o)):
                 ac_mode = "pallas"
-            else:
+            elif dd_ok:
                 ac_mode = "dd"
+            else:
+                ac_mode = "exact"
         whi, wlo = lpc_ops.split_window_f32(window)
         if ac_mode in ("pallas", "pallas_interp"):
             autoc = pallas_autocorr.autocorr_dd_pallas(
                 cN, jnp.asarray(whi), jnp.asarray(wlo), max_order=max_o,
-                interpret=ac_mode == "pallas_interp") + 2.0
+                interpret=ac_mode == "pallas_interp",
+                wide=ac_wide) + 2.0
         elif ac_mode == "dd":
             autoc = lpc_ops.autocorr_dd(cN, max_o, jnp.asarray(whi),
                                         jnp.asarray(wlo))

@@ -77,19 +77,43 @@ def _split(v):
 
 
 def _autocorr_kernel(x_ref, wh_ref, wh1_ref, wh2_ref, wl_ref,
-                     hi_ref, lo_ref, *, rows: int, bp: int, lags: int):
+                     hi_ref, lo_ref, *, rows: int, bp: int, lags: int,
+                     wide: bool):
     f32 = jnp.float32
     G = bp // LANE
 
-    xf = x_ref[:].astype(f32)                     # [R, W]
-    # d = x * w as a double-float pair: exact product against the
-    # pre-split window halves, plus the low window contribution
-    p = xf * wh_ref[:]
-    x1, x2 = _split(xf)
-    e = ((x1 * wh1_ref[:] - p) + x1 * wh2_ref[:]
-         + x2 * wh1_ref[:]) + x2 * wh2_ref[:]
-    d_hi = p
-    d_lo = e + xf * wl_ref[:]
+    if not wide:
+        xf = x_ref[:].astype(f32)                 # [R, W], exact
+        # d = x * w as a double-float pair: exact product against the
+        # pre-split window halves, plus the low window contribution
+        p = xf * wh_ref[:]
+        x1, x2 = _split(xf)
+        e = ((x1 * wh1_ref[:] - p) + x1 * wh2_ref[:]
+             + x2 * wh1_ref[:]) + x2 * wh2_ref[:]
+        d_hi = p
+        d_lo = e + xf * wl_ref[:]
+    else:
+        # |x| can exceed 2^24 (24..32-bit content): split the INTEGER
+        # into exact f32 limbs x = xa*2^12 + xb (xa <= 2^24, xb < 2^12
+        # — both exact, and xa*2^12 is a power-of-two scale so it is
+        # exact too), then d = x*w as dd from two exact TwoProds. Only
+        # this prologue changes; the per-lag dd loop below is width-
+        # agnostic once (d_hi, d_lo) is a faithful double-float.
+        xi = x_ref[:]
+        xa = (xi >> 12).astype(f32) * f32(4096.0)
+        xb = (xi & 4095).astype(f32)   # x == (x>>12)*4096 + (x&4095)
+        wh = wh_ref[:]
+        pa = xa * wh
+        a1, a2 = _split(xa)
+        ea = ((a1 * wh1_ref[:] - pa) + a1 * wh2_ref[:]
+              + a2 * wh1_ref[:]) + a2 * wh2_ref[:]
+        pb = xb * wh
+        b1, b2 = _split(xb)
+        eb = ((b1 * wh1_ref[:] - pb) + b1 * wh2_ref[:]
+              + b2 * wh1_ref[:]) + b2 * wh2_ref[:]
+        s, es = _two_sum(pa, pb)
+        d_hi = s
+        d_lo = (ea + eb + es) + (xa + xb) * wl_ref[:]
     dh1, dh2 = _split(d_hi)
 
     a_hi = d_hi[:, :bp]
@@ -129,14 +153,18 @@ def _autocorr_kernel(x_ref, wh_ref, wh1_ref, wh2_ref, wl_ref,
         lo_ref[:, l, :] = acc_lo - comp
 
 
-@functools.partial(jax.jit, static_argnames=("max_order", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_order", "interpret",
+                                             "wide"))
 def autocorr_dd_pallas(x, window_hi, window_lo, *, max_order: int,
-                       interpret: bool = False):
+                       interpret: bool = False, wide: bool = False):
     """Compensated windowed autocorrelation, lags 0..max_order.
 
-    x int32 [N, B] (|x| < 2^24 so f32 holds it exactly); window_{hi,lo}
-    f32 [B] from :func:`flake_tpu.ops.lpc.split_window_f32`. Returns
-    float64 [N, max_order + 1] — autocorr values WITHOUT the +2.0 bias.
+    x int32 [N, B]; window_{hi,lo} f32 [B] from
+    :func:`flake_tpu.ops.lpc.split_window_f32`. ``wide`` handles
+    |x| >= 2^24 (24..32-bit content) by splitting each sample into
+    exact f32 limbs in the kernel prologue (round 5 — the hi-res path
+    previously fell back to the emulated-f64 XLA autocorrelation).
+    Returns float64 [N, max_order + 1] WITHOUT the +2.0 bias.
     """
     N, B = x.shape
     lags = max_order + 1
@@ -157,7 +185,7 @@ def autocorr_dd_pallas(x, window_hi, window_lo, *, max_order: int,
     wl = wl.reshape(1, W)
 
     kernel = functools.partial(_autocorr_kernel, rows=rows, bp=bp,
-                               lags=lags)
+                               lags=lags, wide=wide)
     wspec = pl.BlockSpec((1, W), lambda i: (_z(), _z()),
                          memory_space=pltpu.VMEM)
     hi, lo = pl.pallas_call(

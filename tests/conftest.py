@@ -30,17 +30,15 @@ import jax  # noqa: E402
 # in a way the env var alone does not override — force it via config too
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the suite's wall time is dominated by XLA CPU
-# compiles of the batched pipeline; caching makes re-runs fast. Note
-# flake_tpu/__init__.py refuses to enable the *user-level shared* cache
-# on CPU because XLA:CPU entries are keyed to detected host CPU features
-# and can go stale across machines/images; this one is a per-checkout
-# cache under tests/ on one machine — same CPU for every process that
-# reads it — which is the case the concern does not cover.
-_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NO persistent compile cache for tests. Round 5 proved the concern
+# flake_tpu/__init__.py:20-25 raises (it refuses the shared cache on
+# CPU): in this image the cache's XLA:CPU AOT entries deserialize with
+# mismatched machine features (cpu_aot_loader logs "+prefer-no-scatter
+# ... not supported on the host machine") and the resulting executables
+# are MISCOMPILED — the Pallas autocorrelation kernel's compensated
+# f32 arithmetic came back wrong by ~4e-6 relative (vs the same code
+# compiled in-memory at 1e-12), deterministically, only when the cache
+# was enabled. Correctness over re-run speed: no cache.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

