@@ -50,7 +50,7 @@ def _audio(F, B, C, bps, seed):
     return [make(jax.random.PRNGKey(seed + i)) for i in range(4)]
 
 
-def _slope(fn, inputs, reps=(1, 3), iters=4):
+def _slope(fn, inputs, reps=(1, 5), iters=8):
     import jax
 
     def rep(K):
