@@ -370,20 +370,30 @@ def build_combined_parts(lengths, leading, payload, total_bits,
     fl2 = chunk_any(s2_sw, nc2)
     fl1 = chunk_any(s1_sw, nc1)
 
-    def chunk_rows_over(cb, kmax_x):
+    def chunk_row_span(cb):
         r0 = (cb[:, :-1] & MASK31) >> 12
         last = ((((cb[:, 1:] & MASK31) - 1) >> 5) + 2) >> 7
-        return (jnp.maximum(last, r0) - r0 + 1) > kmax_x
+        return jnp.maximum(last, r0) - r0 + 1
 
-    overflow = chunk_rows_over(cb2, kmax).any(axis=-1) \
-        | (chunk_rows_over(cb1, kmax1) & fl1).any(axis=-1)
+    span2 = chunk_row_span(cb2)
+    span1 = chunk_row_span(cb1)
+    overflow = (span2 > kmax).any(axis=-1) \
+        | ((span1 > kmax1) & fl1).any(axis=-1)
+    # batch-wide true row need: the static kmax is the config's worst
+    # case, but typical content spans fewer rows per chunk — the caller
+    # dispatches a kernel specialized at this need (content-adaptive
+    # kmax), skipping provably-untouched rows
+    need2 = jnp.clip(span2.max(), 1, kmax).astype(jnp.int32)
+    need1 = jnp.clip(jnp.where(fl1, span1, 1).max(), 1, kmax1) \
+        .astype(jnp.int32)
 
     neg = jnp.int32(-2147483648)
     cb2 = cb2.at[:, :nc2].set(
         jnp.where(fl2, cb2[:, :nc2] | neg, cb2[:, :nc2]))
     cb1 = cb1.at[:, :nc1].set(
         jnp.where(fl1, cb1[:, :nc1] | neg, cb1[:, :nc1]))
-    return (mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1), overflow
+    return (mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1), overflow, \
+        need2, need1
 
 
 MASK31 = 2147483647
@@ -627,13 +637,34 @@ def pack_frames_device(analysis: dict, hdr_bytes, hdr_nbytes,
         from flake_tpu.ops import pallas_bitmerge
 
         kmax, kmax1 = kmax_for(cfg)
-        parts, overflow = build_combined_parts(
+        parts, overflow, need2, _need1 = build_combined_parts(
             lengths, leading, payload, total_bits, kmax, kmax1)
-        mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1 = parts
-        words3 = pallas_bitmerge.merge_combined(
-            mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1, wr=wr,
-            kmax=kmax, kmax1=kmax1,
-            interpret=backend == "kernel_interp")
+        import os
+        if backend == "kernel_interp" \
+                or os.environ.get("FLAKE_ADAPTIVE_KMAX", "1") == "0":
+            # CPU interpret mode: one static-kmax trace (adaptive
+            # dispatch would multiply XLA:CPU compile time by kmax)
+            words3 = pallas_bitmerge.merge_combined(
+                *parts[:6], cb2=parts[6], cb1=parts[7], wr=wr,
+                kmax=kmax, kmax1=kmax1,
+                interpret=backend == "kernel_interp")
+        else:
+            # content-adaptive kmax: the static bound covers legal-but-
+            # pathological Rice runs, while typical content spans fewer
+            # output rows per 512-slot chunk — dispatch the kernel
+            # variant specialized at the batch's true max span (each
+            # skipped row is one fewer MXU one-hot matmul + RMW per
+            # chunk; in-kernel row gating measured slower than the
+            # wasted windows, branch flushes, so specialize instead)
+            def _branch(k):
+                def br(ops_):
+                    return pallas_bitmerge.merge_combined(
+                        *ops_[:6], cb2=ops_[6], cb1=ops_[7], wr=wr,
+                        kmax=k, kmax1=kmax1, interpret=False)
+                return br
+            words3 = jax.lax.switch(
+                need2 - 1, [_branch(k) for k in range(1, kmax + 1)],
+                parts)
         return words3, total_bits.astype(i32), overflow
     elif backend == "xla":
         # ---- aligned payload parts (2-word spans) ---------------------

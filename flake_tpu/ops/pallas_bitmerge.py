@@ -129,7 +129,7 @@ def _mxu_chunk(out_ref, fi, wrow, vals, row0, *, kmax, interpret):
 
 
 def _merge_combined_kernel(cb2_ref, cb1_ref,
-                           mw_ref, ma_ref, mb_ref, mc_ref,
+                           mw_ref, mv_ref,
                            s2w_ref, s2a_ref, s2b_ref, s2c_ref,
                            s1w_ref, s1a_ref, s1b_ref,
                            out_ref, *, nc2, nc1, fb, wr, kmax, kmax1,
@@ -142,9 +142,11 @@ def _merge_combined_kernel(cb2_ref, cb1_ref,
         f = g * fb + fi
         for c in range(nc2):
             row0 = (cb2_ref[f, c] & i32(MASK31)) >> i32(12)
-            vals = _vals12(ma_ref[fi, c:c + 1, :],
-                           mb_ref[fi, c:c + 1, :],
-                           mc_ref[fi, c:c + 1, :])
+            # main-chunk value rows arrive pre-quartered as f32 from
+            # XLA (fused into the align prep): building them in-kernel
+            # cost ~36 tiny [1,128] VPU ops per chunk, which dominated
+            # the kernel (time was ~invariant to kmax)
+            vals = mv_ref[fi, c]
             _mxu_chunk(out_ref, fi, mw_ref[fi, c:c + 1, :], vals,
                        row0, kmax=kmax, interpret=interpret)
 
@@ -183,10 +185,20 @@ def merge_combined(mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1, *,
     F = mainw.shape[0]
     nc2 = mainw.shape[1]
     nc1 = sp1w.shape[1]
+    # pre-quarter the main-chunk value rows in XLA (fuses into the
+    # align prep; elementwise + bandwidth, vs ~36 tiny per-chunk VPU
+    # ops in-kernel): [F, nc2, 16, 128] f32, rows = 8-bit quarters of
+    # the A/B/C aligned words, 4 zero pad rows
+    mA, mB, mC = mainr
+    m8 = jnp.int32(0xFF)
+    qrows = [((w >> s) & m8).astype(_f32)
+             for w in (mA, mB, mC) for s in (24, 16, 8, 0)]
+    qrows += [jnp.zeros_like(qrows[0])] * 4
+    mvals = jnp.stack(qrows, axis=2)           # [F, nc2, 16, 128]
     # interpret mode (CPU tests) executes the kernel as one giant XLA
     # graph per program: keep it per-frame so the unrolled body stays
     # small enough for XLA:CPU's JIT code allocator
-    fb = 1 if interpret else next(b for b in (16, 8, 4, 2, 1)
+    fb = 1 if interpret else next(b for b in (8, 4, 2, 1)
                                   if F % b == 0)
     kernel = functools.partial(
         _merge_combined_kernel, nc2=nc2, nc1=nc1, fb=fb, wr=wr,
@@ -196,17 +208,20 @@ def merge_combined(mainw, mainr, sp2w, sp2r, sp1w, sp1r, cb2, cb1, *,
         return pl.BlockSpec((fb, ncx, LANE),
                             lambda i, *_: (i, _z(), _z()))
 
+    vspec = pl.BlockSpec((fb, nc2, 16, LANE),
+                         lambda i, *_: (i, _z(), _z(), _z()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(F // fb,),
-        in_specs=[rspec(nc2)] * 8 + [rspec(nc1)] * 3,
+        in_specs=[rspec(nc2), vspec] + [rspec(nc2)] * 4
+        + [rspec(nc1)] * 3,
         out_specs=pl.BlockSpec((fb, wr, LANE),
                                lambda i, *_: (i, _z(), _z())))
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((F, wr, LANE), jnp.int32),
         interpret=interpret,
-    )(cb2, cb1, mainw, *mainr, sp2w, *sp2r, sp1w, *sp1r)
+    )(cb2, cb1, mainw, mvals, sp2w, *sp2r, sp1w, *sp1r)
 
 
 def _merge_kernel(cb_ref, w0t_ref, hit_ref, lot_ref, out_ref, *,
